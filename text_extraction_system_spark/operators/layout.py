@@ -1,0 +1,85 @@
+"""Plain-text assembly + page table — pure built-ins (SURVEY.md W5/W6).
+
+Reference semantics: paragraphs end with '\\n', pages end with '\\n\\f'
+(``PDFToTextWithCoordinates.java:581-582``); per-page char ranges accumulate
+as text is written (``startPage`` Java :86-89, location array :535-543).
+
+Page p owns spans with original offset in [PAGE_SPANS*p, PAGE_SPANS*(p+1)).
+Page text = '\\n'.join(non-empty span texts) + '\\n\\f'. Page char bounds are
+a running sum over page text lengths — computed with ``aggregate`` over the
+page array, still JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core import spec
+
+
+def page_texts_col(out_spans: Column) -> Column:
+    """array<string>: assembled text of each page (with separators)."""
+    n_pages = (F.element_at(out_spans, -1)["offset"] / spec.PAGE_SPANS).cast("int") + 1
+    pages_idx = F.when(
+        F.size(out_spans) > 0, F.sequence(F.lit(0), n_pages - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def page_text(p: Column) -> Column:
+        in_page = F.filter(
+            out_spans,
+            lambda s: (s["text"] != "")
+            & (F.floor(s["offset"] / spec.PAGE_SPANS).cast("int") == p),
+        )
+        return F.concat(
+            F.array_join(F.transform(in_page, lambda s: s["text"]), spec.PARAGRAPH_SEP),
+            F.lit(spec.PAGE_END),
+        )
+
+    return F.transform(pages_idx, page_text)
+
+
+def plain_text_col(page_texts: Column) -> Column:
+    return F.array_join(page_texts, "")
+
+
+def pages_col(page_texts: Column) -> Column:
+    """array<struct<number,start,end,bbox,rotation>> with running char offsets
+    (dto.py:87-98). bbox fixed US-Letter, rotation 0 for derived docs."""
+    # running-sum fold: acc = (pages_so_far, pos)
+    zero = F.struct(
+        F.array().cast(
+            "array<struct<number:int,start:int,end:int,bbox:array<float>,rotation:int>>"
+        ).alias("pages"),
+        F.lit(0).alias("pos"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        end = acc["pos"] + F.length(t)
+        page = F.struct(
+            F.size(acc["pages"]).alias("number"),
+            acc["pos"].cast("int").alias("start"),
+            end.cast("int").alias("end"),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(612.0), F.lit(792.0))
+            .cast("array<float>")
+            .alias("bbox"),
+            F.lit(0).alias("rotation"),
+        )
+        return F.struct(
+            F.concat(acc["pages"], F.array(page)).alias("pages"),
+            end.cast("int").alias("pos"),
+        )
+
+    return F.aggregate(page_texts, zero, step, lambda acc: acc["pages"])
+
+
+def assemble(stitched: DataFrame) -> DataFrame:
+    """(doc_id, needs_ocr, out_spans) -> + (plain_text, pages)."""
+    with_pages = stitched.withColumn("_page_texts", page_texts_col(F.col("out_spans")))
+    return with_pages.select(
+        "doc_id",
+        "needs_ocr",
+        "out_spans",
+        plain_text_col(F.col("_page_texts")).alias("plain_text"),
+        pages_col(F.col("_page_texts")).alias("pages"),
+    )

@@ -1,0 +1,87 @@
+"""Span processing + re-stitch: the fan-out/fan-in core of the engine.
+
+Two physical strategies for the same logical transform (input spans ->
+output spans with OCR applied, original order preserved):
+
+* **inline** (default, shuffle-free): per-row array ``transform`` — the whole
+  doc is processed where it sits. At 100 TB this is the hot path: documents
+  are embarrassingly parallel and never shuffle.
+* **fanout** (giant-doc path): ``posexplode`` one row per span, process
+  per-span, then ``groupBy(doc_id).agg(array_sort(collect_list(...)))``
+  re-stitch. This is the Spark rendition of the reference's per-page Celery
+  chord (``tasks.py:259-293`` split, ``tasks.py:365-437`` + ``pdf/pdf.py:327-367``
+  ordered merge — SURVEY.md J1/J2/J3). Only docs whose span count exceeds
+  ``fanout_threshold`` take it, so the expensive shuffle touches the skewed
+  tail only (north-rule skew handling).
+
+``array_sort`` on struct arrays orders by the first field — we sort structs
+keyed by ``offset`` first, restoring the exact original sequence: the
+span-sequence-equality invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import ocr
+
+DEFAULT_FANOUT_THRESHOLD = 256
+
+
+def process_spans_inline(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, needs_ocr, out_spans); no shuffle."""
+    return spans_df.select(
+        "doc_id",
+        ocr.needs_ocr_col(F.col("spans")).alias("needs_ocr"),
+        "spans",
+    ).select(
+        "doc_id",
+        "needs_ocr",
+        F.transform(
+            F.col("spans"), lambda s: ocr.apply_ocr_to_span(s, F.col("needs_ocr"))
+        ).alias("out_spans"),
+    )
+
+
+def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
+    """Same result via explode -> per-span map -> ordered gather.
+
+    The groupBy shuffle hashes on doc_id, so all of one giant doc's spans
+    land in one reduce task; ``collect_list`` + ``array_sort`` on
+    (offset, span) structs is the ordered re-merge.
+    """
+    decided = spans_df.select(
+        "doc_id", ocr.needs_ocr_col(F.col("spans")).alias("needs_ocr"), "spans"
+    )
+    exploded = decided.select(
+        "doc_id", "needs_ocr", F.explode("spans").alias("s")
+    )
+    mapped = exploded.select(
+        "doc_id",
+        "needs_ocr",
+        ocr.apply_ocr_to_span(F.col("s"), F.col("needs_ocr")).alias("o"),
+    )
+    gathered = mapped.groupBy("doc_id", "needs_ocr").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("o.offset").alias("offset"), F.col("o").alias("s")))
+        ).alias("keyed")
+    )
+    return gathered.select(
+        "doc_id",
+        "needs_ocr",
+        F.transform(F.col("keyed"), lambda k: k["s"]).alias("out_spans"),
+    )
+
+
+def process_spans(
+    spans_df: DataFrame, fanout_threshold: int = DEFAULT_FANOUT_THRESHOLD
+) -> DataFrame:
+    """Route small docs through the shuffle-free path and giant docs through
+    the fan-out path, then union. ``fanout_threshold <= 0`` forces fanout
+    everywhere (used by tests to prove path equivalence)."""
+    if fanout_threshold <= 0:
+        return process_spans_fanout(spans_df)
+    small = spans_df.where(F.size("spans") <= fanout_threshold)
+    giant = spans_df.where(F.size("spans") > fanout_threshold)
+    return process_spans_inline(small).unionByName(process_spans_fanout(giant))

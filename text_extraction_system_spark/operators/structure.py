@@ -1,0 +1,51 @@
+"""``segment_structure`` — the one Arrow-vectorized UDF of the core pipeline.
+
+Everything upstream (derive, OCR decide, OCR stub, re-stitch, page assembly)
+is Catalyst expressions; paragraph/sentence offset segmentation, language
+scoring, title and section detection need regex + offset arithmetic, which is
+where the reference leaned on lexnlp (``data_extract.py:149-186``). Here it
+is ONE ``pandas_udf`` over the assembled plain-text column: one Arrow batch
+in, one struct column out, no per-row Python in the Spark plan
+(BASELINE.json input_hint).
+
+The segmentation rules themselves live in ``core.textseg`` / ``core.langid``
+so the oracle and the UDF share literally the same code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .. import schemas
+from ..core import langid, textseg
+
+
+def _structure_of(text: str) -> dict:
+    paragraphs = [
+        {"start": s, "end": e, "language": langid.detect_language(text[s:e])}
+        for s, e in textseg.paragraph_spans(text)
+    ]
+    sentences = [
+        {"start": s, "end": e, "language": langid.detect_language(text[s:e])}
+        for s, e in textseg.sentence_spans(text)
+    ]
+    return {
+        "title": textseg.detect_title(text),
+        "language": langid.detect_language(text),
+        "paragraphs": paragraphs,
+        "sentences": sentences,
+        "sections": textseg.detect_sections(text),
+    }
+
+
+@pandas_udf(schemas.STRUCTURE)
+def segment_structure(texts: pd.Series) -> pd.DataFrame:
+    rows = [_structure_of(t if t is not None else "") for t in texts]
+    return pd.DataFrame(rows)
+
+
+def with_structure(assembled: DataFrame, text_col: str = "plain_text") -> DataFrame:
+    return assembled.withColumn("structure", segment_structure(F.col(text_col)))

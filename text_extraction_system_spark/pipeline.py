@@ -1,0 +1,63 @@
+"""End-to-end extraction pipeline (the reference's section-3.1 lifecycle,
+Spark-first).
+
+    documents(doc_id, text)                      -- or a spans table directly
+      -> derive_spans          (built-ins, SPEC section 1)
+      -> process_spans         (OCR decide + stub + re-stitch; inline or
+                                fan-out/fan-in for giant docs)
+      -> assemble              (plain text + page table, built-ins)
+      -> segment_structure     (one Arrow UDF: paragraphs/sentences/
+                                sections/language/title)
+
+Only the giant-doc branch shuffles; the hot path is a single narrow stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import derive_spans as ds
+from .operators import layout, restitch, structure
+
+
+def extract_from_documents(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    fanout_threshold: int = restitch.DEFAULT_FANOUT_THRESHOLD,
+    with_structure: bool = True,
+) -> DataFrame:
+    """documents -> extraction results (one row per doc)."""
+    spans = ds.derive_spans(docs, doc_id_col=doc_id_col, text_col=text_col)
+    return extract_from_spans(
+        spans, fanout_threshold=fanout_threshold, with_structure=with_structure
+    )
+
+
+def extract_from_spans(
+    spans_df: DataFrame,
+    fanout_threshold: int = restitch.DEFAULT_FANOUT_THRESHOLD,
+    with_structure: bool = True,
+) -> DataFrame:
+    """spans table (input_hint shape) -> extraction results."""
+    stitched = restitch.process_spans(spans_df, fanout_threshold=fanout_threshold)
+    assembled = layout.assemble(stitched)
+    if not with_structure:
+        return assembled
+    return structure.with_structure(assembled)
+
+
+def summary(results: DataFrame) -> DataFrame:
+    """Flat per-doc summary (stable schema for the driver smoke check)."""
+    return results.select(
+        "doc_id",
+        "needs_ocr",
+        F.size("out_spans").alias("n_spans"),
+        F.length("plain_text").alias("n_chars"),
+        F.size("pages").alias("n_pages"),
+        F.col("structure.language").alias("language"),
+        F.size("structure.paragraphs").alias("n_paragraphs"),
+        F.size("structure.sentences").alias("n_sentences"),
+        F.size("structure.sections").alias("n_sections"),
+    )
