@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship extraction pipeline on sf0.001.
+``queries``    — one entry per implemented operator (SURVEY.md section 2 ids
+                 in each docstring) plus the training-data-pipeline operators
+                 (dedup / quality / lang-id / fingerprint / simhash).
+``oracle_sql`` — DuckDB twins. The ENGINE SPEC (core/spec.py) makes every
+                 transformation deterministic and expressible in both engines:
+                 md5-based hashing, closed-vocabulary language scoring,
+                 arithmetic-only token hashes.
 """
 
 from __future__ import annotations
@@ -12,27 +15,454 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_extraction_system_spark import pipeline
+from text_extraction_system_spark.core import spec
+from text_extraction_system_spark.operators import derive_spans as ds
+from text_extraction_system_spark.operators import ocr, textstats
+from text_extraction_system_spark.operators import structure as structure_op
+
+_HEX = "0123456789abcdef"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction (derive -> OCR route -> re-stitch ->
+    assemble -> structure) on sf0.001; one summary row per document."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return pipeline.summary(pipeline.extract_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _q_spans_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S3: documents -> interleaved spans, exploded to one row per span."""
+    spans = ds.derive_spans(_docs(spark, sf_dir))
+    return spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _q_ocr_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/A1: per-doc text/media covers + OCR-decision classifier."""
+    spans = ds.derive_spans(_docs(spark, sf_dir))
+    return spans.select(
+        "doc_id",
+        ocr.text_cover_col(F.col("spans")).alias("text_cover"),
+        ocr.media_cover_col(F.col("spans")).alias("media_cover"),
+        ocr.needs_ocr_col(F.col("spans")).alias("needs_ocr"),
+    )
+
+
+def _q_extract_restitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/J3: OCR stub applied + span sequence re-stitched in original order
+    (the north-rule invariant), exploded to rows."""
+    res = pipeline.extract_from_documents(
+        _docs(spark, sf_dir), with_structure=False
+    )
+    return res.select("doc_id", F.explode("out_spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _q_plain_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: assembled plain text with paragraph/page separators."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return res.select(
+        "doc_id",
+        "plain_text",
+        F.length("plain_text").cast("bigint").alias("n_chars"),
+        F.size("pages").cast("bigint").alias("n_pages"),
+    )
+
+
+def _q_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: per-page char-offset windows (dto.py:87-98 semantics)."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return res.select("doc_id", F.explode("pages").alias("p")).select(
+        "doc_id",
+        F.col("p.number").cast("bigint").alias("page_number"),
+        F.col("p.start").cast("bigint").alias("page_start"),
+        F.col("p.end").cast("bigint").alias("page_end"),
+    )
+
+
+def _q_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A8: paragraph segmentation offsets + per-paragraph language
+    (mapInPandas row-per-paragraph; shares rule code with the oracle)."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return structure_op.paragraph_rows(res)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: deterministic stopword language ID on raw document text."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.detect_language_col(F.col("text")).alias("language"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cols = textstats.quality_cols(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *[c.alias(n) for n, c in cols.items()],
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.simhash_col(F.col("text")).alias("simhash"),
+    )
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: canonical doc + duplicate count."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.md5("text").alias("content_hash")
+    )
+    return docs.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 analog: request-status summary -> event_type counts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 analog: rank/sort + page-slice of requests -> top orders."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spans_derive": _q_spans_derive,
+        "ocr_route": _q_ocr_route,
+        "extract_restitch": _q_extract_restitch,
+        "plain_text": _q_plain_text,
+        "pages": _q_pages,
+        "paragraphs": _q_paragraphs,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "simhash": _q_simhash,
+        "exact_dedup": _q_exact_dedup,
+        "status_counts": _q_status_counts,
+        "top_orders": _q_top_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — generated fragments mirror core/spec.py exactly
+# ---------------------------------------------------------------------------
+
+def _sql_tokens(text: str) -> str:
+    return (
+        f"list_filter(string_split(trim(regexp_replace(lower({text}), '\\s+', ' ', 'g')), ' '), "
+        "w -> w != '')"
+    )
+
+
+def _sql_sw_hits(toks: str, lang: str) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in spec.LANG_STOPWORDS[lang]) + "]"
+    return f"len(list_filter({toks}, t -> list_contains({lit}, t)))"
+
+
+def _sql_lang(text: str) -> str:
+    toks = _sql_tokens(text)
+    h = {lang: _sql_sw_hits(toks, lang) for lang in spec.LANG_PRIORITY}
+    return f"""CASE
+      WHEN {h['de']} > {h['en']} AND {h['de']} >= {h['es']} AND {h['de']} >= {h['fr']} THEN 'de'
+      WHEN {h['es']} > {h['en']} AND {h['es']} > {h['de']} AND {h['es']} >= {h['fr']} THEN 'es'
+      WHEN {h['fr']} > {h['en']} AND {h['fr']} > {h['de']} AND {h['fr']} > {h['es']} THEN 'fr'
+      ELSE 'en' END"""
+
+
+def _sql_tokhash(tok: str, hex_chars: int = spec.FP_HEX_CHARS) -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr(md5({tok}), {j + 1}, 1)) - 1) * {16 ** (hex_chars - 1 - j)}"
+        for j in range(hex_chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_ocr_text(ref: str) -> str:
+    vocab = "[" + ", ".join(f"'{w}'" for w in spec.OCR_VOCAB) + "]"
+    return (
+        f"array_to_string(list_transform(range({spec.OCR_WORDS}), "
+        f"j -> ({vocab})[strpos('{_HEX}', substr(md5({ref}), j + 1, 1))]), ' ')"
+    )
+
+
+#: derived span rows — shared CTE prefix (mirrors operators/derive_spans.py)
+_SQL_SPANS_CTE = f"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM documents
+),
+n AS (
+  SELECT doc_id, ws, CAST(ceil(len(ws) / {spec.SPAN_WORDS}.0) AS INT) AS n_text FROM src
+),
+tspans AS (
+  SELECT doc_id, i,
+         array_to_string(ws[i * {spec.SPAN_WORDS} + 1 : i * {spec.SPAN_WORDS} + {spec.SPAN_WORDS}], ' ') AS chunk,
+         substr(md5(doc_id || ':' || CAST(i AS VARCHAR)), 1, 1) IN {spec.MEDIA_HEX!r} AS has_media
+  FROM n, unnest(range(n_text)) AS t(i)
+),
+spans0 AS (
+  SELECT doc_id, i, 0 AS part, 'text' AS kind, chunk AS text, '' AS media_ref FROM tspans
+  UNION ALL
+  SELECT doc_id, i, 1 AS part, 'media' AS kind, '' AS text,
+         'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref
+  FROM tspans WHERE has_media
+),
+spans AS (
+  SELECT doc_id, kind, text, media_ref,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, part) - 1 AS INT) AS span_offset
+  FROM spans0
+)
+"""
+
+_SQL_COVERS_CTE = f"""
+covers AS (
+  SELECT doc_id,
+         sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END) AS text_cover,
+         sum(CASE WHEN kind = 'media'
+             THEN strpos('{_HEX}', substr(md5(media_ref), 1, 1)) * {spec.MEDIA_AREA_UNIT}
+             ELSE 0 END) AS media_cover
+  FROM spans GROUP BY doc_id
+),
+needs AS (
+  SELECT doc_id, text_cover, media_cover,
+         text_cover < {spec.OCR_RATIO} * media_cover AS needs_ocr
+  FROM covers
+)
+"""
+
+_SQL_OUTSPANS_CTE = (
+    _SQL_SPANS_CTE
+    + ","
+    + _SQL_COVERS_CTE
+    + f""",
+outspans AS (
+  SELECT s.doc_id, s.span_offset, s.kind,
+         CASE WHEN s.kind = 'media' AND nd.needs_ocr
+              THEN {_sql_ocr_text('s.media_ref')}
+              ELSE s.text END AS text,
+         s.media_ref
+  FROM spans s JOIN needs nd ON s.doc_id = nd.doc_id
+)
+"""
+)
+
+#: page assembly over output spans (mirrors operators/layout.py)
+_SQL_PAGES_CTE = (
+    _SQL_OUTSPANS_CTE
+    + f""",
+pagetext AS (
+  SELECT doc_id, span_offset // {spec.PAGE_SPANS} AS page_number,
+         coalesce(array_to_string(list_filter(list(text ORDER BY span_offset), t -> t != ''), chr(10)), '')
+           || chr(10) || chr(12) AS ptext
+  FROM outspans GROUP BY doc_id, span_offset // {spec.PAGE_SPANS}
+),
+pagebounds AS (
+  SELECT doc_id, page_number, ptext,
+         CAST(coalesce(sum(length(ptext)) OVER (
+           PARTITION BY doc_id ORDER BY page_number
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS page_start,
+         CAST(sum(length(ptext)) OVER (
+           PARTITION BY doc_id ORDER BY page_number
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS page_end
+  FROM pagetext
+)
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["spans_derive"] = (
+        _SQL_SPANS_CTE
+        + "SELECT doc_id, span_offset, kind, text, media_ref FROM spans"
+    )
+
+    sql["ocr_route"] = (
+        _SQL_SPANS_CTE
+        + ","
+        + _SQL_COVERS_CTE
+        + "SELECT doc_id, CAST(text_cover AS BIGINT) AS text_cover, "
+        "CAST(media_cover AS BIGINT) AS media_cover, needs_ocr FROM needs"
+    )
+
+    sql["extract_restitch"] = (
+        _SQL_OUTSPANS_CTE
+        + "SELECT doc_id, span_offset, kind, text, media_ref FROM outspans"
+    )
+
+    sql["plain_text"] = (
+        _SQL_PAGES_CTE
+        + """
+SELECT d.doc_id,
+       coalesce(a.plain_text, '') AS plain_text,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_pages, 0) AS n_pages
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN (
+  SELECT doc_id, string_agg(ptext, '' ORDER BY page_number) AS plain_text,
+         CAST(sum(length(ptext)) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM pagebounds GROUP BY doc_id
+) a ON d.doc_id = a.doc_id
+"""
+    )
+
+    sql["pages"] = (
+        _SQL_PAGES_CTE
+        + "SELECT doc_id, page_number, page_start, page_end FROM pagebounds"
+    )
+
+    sql["paragraphs"] = (
+        _SQL_PAGES_CTE
+        + f""",
+contrib AS (
+  SELECT o.doc_id, o.span_offset, o.text,
+         o.span_offset // {spec.PAGE_SPANS} AS page_number,
+         CAST(row_number() OVER (
+           PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
+           ORDER BY o.span_offset) - 1 AS BIGINT) AS k,
+         CAST(coalesce(sum(length(o.text)) OVER (
+           PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
+           ORDER BY o.span_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_len
+  FROM outspans o WHERE o.text != ''
+)
+SELECT c.doc_id,
+       pb.page_start + c.prev_len + c.k AS par_start,
+       pb.page_start + c.prev_len + c.k + length(c.text) AS par_end,
+       {_sql_lang('c.text')} AS language
+FROM contrib c
+JOIN pagebounds pb ON c.doc_id = pb.doc_id AND c.page_number = pb.page_number
+"""
+    )
+
+    toks = _sql_tokens("text")
+    sql["token_count"] = (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    )
+
+    sql["lang_id"] = (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_sql_lang('text')} AS language "
+        "FROM documents"
+    )
+
+    all_sw = sorted({w for ws in spec.LANG_STOPWORDS.values() for w in ws})
+    sw_lit = "[" + ", ".join(f"'{w}'" for w in all_sw) + "]"
+    punct_re = r"[.,;:!?'\"()\[\]]".replace("'", "''")
+    sql["quality"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, {toks} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(toks, x -> list_contains({sw_lit}, x))) AS sw_hits,
+         length(text) - length(regexp_replace(text, '{punct_re}', '', 'g')) AS n_punct,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len
+  FROM t
+)
+SELECT doc_id, n_words,
+       sum_len / greatest(n_words, 1) AS mean_word_len,
+       sw_hits / greatest(n_words, 1) AS stopword_ratio,
+       n_punct / greatest(n_chars, 1) AS punct_ratio,
+       CASE WHEN n_words < {spec.QUALITY_MIN_WORDS} THEN 0.0 ELSE
+         least(1.0, n_words / 100.0) * 0.5
+         + least(1.0, (sw_hits / greatest(n_words, 1)) * 5) * 0.3
+         + (1.0 - least(1.0, (n_punct / greatest(n_chars, 1)) * 10)) * 0.2
+       END AS quality_score
+FROM q
+"""
+
+    sql["fingerprint"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({toks}, t -> CAST({_sql_tokhash('t')} % {spec.FP_MOD} AS BIGINT))),
+         (a, b) -> (a * {spec.FP_BASE} + b) % {spec.FP_MOD}) AS BIGINT) AS fingerprint
+FROM documents
+"""
+
+    bit_terms = []
+    for b in range(32):
+        bit_terms.append(
+            f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+            f"h -> CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        )
+    sql["simhash"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform({toks}, t -> CAST({_sql_tokhash('t', 8)} AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id, ({' + '.join(bit_terms)}) AS simhash FROM t
+"""
+
+    sql["exact_dedup"] = """
+SELECT md5(text) AS content_hash,
+       min(CAST(doc_id AS VARCHAR)) AS canonical_doc,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["status_counts"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+    sql["top_orders"] = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+    return sql

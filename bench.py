@@ -1,0 +1,76 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] (default 32) and prints:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>, "docs_per_sec": ..., ...}
+
+Results are written with the noop sink so timing covers the full distributed
+plan without driver-side collect cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "extract_restitch",
+    "plain_text",
+    "paragraphs",
+    "ocr_route",
+    "quality",
+    "lang_id",
+    "fingerprint",
+    "simhash",
+    "exact_dedup",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from text_extraction_system_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
+    qs = entrymod.queries()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    doc_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan+JIT)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    pipeline_sec = timings.get("extract_restitch", total)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec > 0 else None,
+        "mb_per_sec": round(doc_bytes / 1e6 / pipeline_sec, 2) if pipeline_sec > 0 else None,
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

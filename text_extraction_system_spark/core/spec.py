@@ -101,8 +101,12 @@ DEFAULT_LANG = "en"
 # Document fingerprint (rolling polynomial hash over tokens)
 # ---------------------------------------------------------------------------
 
+#: base/modulus chosen so acc*base + tok < 2^63 (portable to any SQL engine
+#: with 64-bit signed ints: acc < 2^31, base < 2^21 -> product < 2^52)
 FP_BASE = 1000003
-FP_MOD = (1 << 61) - 1
+FP_MOD = (1 << 31) - 1
+#: token hash = first FP_HEX_CHARS hex chars of md5(token) as an integer
+FP_HEX_CHARS = 7
 
 # ---------------------------------------------------------------------------
 # MinHash / shingling for near-dup detection

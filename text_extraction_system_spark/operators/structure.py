@@ -49,3 +49,34 @@ def segment_structure(texts: pd.Series) -> pd.DataFrame:
 
 def with_structure(assembled: DataFrame, text_col: str = "plain_text") -> DataFrame:
     return assembled.withColumn("structure", segment_structure(F.col(text_col)))
+
+
+_PARAGRAPH_ROWS_SCHEMA = (
+    "doc_id string, par_start long, par_end long, language string"
+)
+
+
+def paragraph_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFrame:
+    """Row-per-paragraph segmentation via ``mapInPandas``.
+
+    A generator (``explode``) cannot host a pandas-UDF result in its input
+    expression tree, so queries that need exploded structure use this plan
+    node instead: one Arrow batch in, paragraph rows out — still zero
+    per-row Python.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "par_start": [], "par_end": [], "language": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                t = text if text is not None else ""
+                for s, e in textseg.paragraph_spans(t):
+                    out["doc_id"].append(doc_id)
+                    out["par_start"].append(s)
+                    out["par_end"].append(e)
+                    out["language"].append(langid.detect_language(t[s:e]))
+            yield pd.DataFrame(out, columns=list(out.keys()))
+
+    return assembled.select("doc_id", text_col).mapInPandas(
+        gen, schema=_PARAGRAPH_ROWS_SCHEMA
+    )

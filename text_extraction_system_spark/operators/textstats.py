@@ -1,0 +1,144 @@
+"""Text-analytics operators — token stats, quality scoring, language ID,
+document fingerprinting, simhash. All pure Catalyst expressions (JVM-side,
+whole-stage codegen); every one has a DuckDB-SQL twin in ``__spark_entry__``.
+
+These are the training-data-pipeline operators layered on top of the
+reference's extraction capabilities (task brief: dedup / quality / lang-ID /
+token counting / fingerprinting as first-class components). Language ID
+mirrors the reference's per-segment fastText usage (``data_extract/lang.py``)
+via the deterministic stopword scorer of ``core.langid``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..core import spec
+
+_HEX = "0123456789abcdef"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, lowercased, \\s+ squashed first (lang.py:10,23)."""
+    squashed = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.filter(F.split(squashed, " "), lambda w: w != "")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("bigint")
+
+
+def _stopword_hits(tokens: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in spec.LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+
+
+def detect_language_col(text: Column) -> Column:
+    """Argmax of stopword hits with LANG_PRIORITY tie-break; all-zero -> 'en'.
+    Matches ``core.langid.detect_language`` exactly."""
+    toks = tokens_col(text)
+    h = {lang: _stopword_hits(toks, lang) for lang in spec.LANG_PRIORITY}
+    return (
+        F.when((h["de"] > h["en"]) & (h["de"] >= h["es"]) & (h["de"] >= h["fr"]), "de")
+        .when((h["es"] > h["en"]) & (h["es"] > h["de"]) & (h["es"] >= h["fr"]), "es")
+        .when((h["fr"] > h["en"]) & (h["fr"] > h["de"]) & (h["fr"] > h["es"]), "fr")
+        .otherwise("en")
+    )
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: word count, mean word length, stopword ratio,
+    punctuation ratio, and a composite keep-score in [0,1]."""
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    all_sw = sorted({w for ws in spec.LANG_STOPWORDS.values() for w in ws})
+    sw_arr = F.array(*[F.lit(w) for w in all_sw])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?'\"()\[\]]", ""))
+    safe_words = F.greatest(n_words, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    # no rounding anywhere: both engines produce bit-identical IEEE doubles
+    # from identical integer inputs; round() half-up vs binary boundaries
+    # would otherwise disagree in the last decimal
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        / safe_words
+    )
+    stopword_ratio = sw_hits / safe_words
+    punct_ratio = n_punct / safe_chars
+    score = F.when(n_words < spec.QUALITY_MIN_WORDS, 0.0).otherwise(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.5
+        + F.least(F.lit(1.0), stopword_ratio * 5) * 0.3
+        + (1.0 - F.least(F.lit(1.0), punct_ratio * 10)) * 0.2
+    )
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stopword_ratio,
+        "punct_ratio": punct_ratio,
+        "quality_score": score,
+    }
+
+
+def _hexval(c: Column) -> Column:
+    """hex char -> 0..15 (instr is 1-based)."""
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def token_hash_col(token: Column, hex_chars: int = spec.FP_HEX_CHARS) -> Column:
+    """First ``hex_chars`` hex chars of md5(token) as an integer — positional
+    arithmetic only, portable to any SQL engine."""
+    h = F.md5(token)
+    out = F.lit(0).cast("bigint")
+    for j in range(hex_chars):
+        out = out + _hexval(F.substring(h, j + 1, 1)).cast("bigint") * F.lit(
+            16 ** (hex_chars - 1 - j)
+        ).cast("bigint")
+    return out
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Rolling polynomial hash over token hashes:
+    acc = (acc*FP_BASE + tok) % FP_MOD, acc0 = 0."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: token_hash_col(t) % spec.FP_MOD)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * spec.FP_BASE + h) % spec.FP_MOD,
+    )
+
+
+def simhash_col(text: Column, bits: int = 32) -> Column:
+    """SimHash over token hashes (8 hex chars -> 32-bit token hash): for each
+    bit, vote +1/-1 per token; bit set iff vote > 0."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: token_hash_col(t, hex_chars=8))
+    # single pass over the token hashes: fold a 32-long vote vector
+    # (one md5 per token total; a per-bit formulation would recompute the
+    # token hashes `bits` times — measured 12x slower)
+    def bit_array(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.floor(h / F.pow(F.lit(2.0), b).cast("bigint")) % 2 == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(acc, bit_array(h), lambda a, v: a + v),
+    )
+    # reference `votes` exactly ONCE: higher-order functions run interpreted
+    # (no codegen, no common-subexpression elimination), so indexing the fold
+    # result per bit would re-run the whole fold per bit
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    contrib = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)

@@ -1,0 +1,110 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column-name set, and an order-insensitive value hash (columns
+sorted by name, rows sorted, floats rounded to 9 significant decimals).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from text_extraction_system_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    qs = entrymod.queries()
+    oq = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        t_spark = time.time() - t0
+        if name not in oq:
+            print(f"{name:28s} rows={len(srows):6d}  (no oracle — rows-only check) [{t_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        res = con.execute(oq[name])
+        dcols = [d[0] for d in res.description]
+        drows = [tuple(r) for r in res.fetchall()]
+        t_duck = time.time() - t0
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_rows = len(srows) == len(drows)
+        ok_hash = ok_cols and value_hash(scols, srows) == value_hash(dcols, drows)
+        status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        print(
+            f"{name:28s} {status} rows {len(srows)}/{len(drows)} cols={ok_cols} "
+            f"hash={ok_hash} [spark {t_spark:.1f}s duck {t_duck:.1f}s]"
+        )
+        if status == "FAIL":
+            failures += 1
+            if ok_cols:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = sorted("|".join(_norm(r[i]) for i in order) for r in srows)
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                dset = sorted("|".join(_norm(r[i]) for i in dorder) for r in drows)
+                sonly = [x for x in sset if x not in set(dset)][:3]
+                donly = [x for x in dset if x not in set(sset)][:3]
+                for x in sonly:
+                    print("   spark-only:", x[:220])
+                for x in donly:
+                    print("   duck-only: ", x[:220])
+            else:
+                print("   spark cols:", scols)
+                print("   duck cols: ", dcols)
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
