@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from text_extraction_system_spark import pipeline
 from text_extraction_system_spark.core import spec
 from text_extraction_system_spark.operators import derive_spans as ds
-from text_extraction_system_spark.operators import ocr, textstats
+from text_extraction_system_spark.operators import dedup, events, ocr, similarity, textstats
 from text_extraction_system_spark.operators import structure as structure_op
 
 _HEX = "0123456789abcdef"
@@ -173,6 +173,95 @@ def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row-per-sentence segmentation over assembled plain text."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return structure_op.sentence_rows(res)
+
+
+def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs verified with exact shingle Jaccard."""
+    return dedup.near_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column (broadcast queries)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k (the 10^12-vector plan shape)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.srp_lsh_topk(emb)
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (T/streaming analog, batch formulation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.sessionize(ev).withColumn(
+        "session_seq", F.col("session_seq").cast("bigint")
+    )
+
+
+def _micros(c) -> F.Column:
+    """Fixed-point micro-units: floor(x*1e6) is exact on the binary double in
+    every engine; double->decimal casts are NOT portable (Spark rounds the
+    shortest decimal repr, DuckDB the true binary value)."""
+    return F.floor(c * F.lit(1000000.0)).cast("bigint")
+
+
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate; fixed-point-exact value sums."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.tumbling_counts(ev)
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (fixed-point micros, order-insensitive)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_micros(F.col("l_quantity"))).alias("sum_qty_micros"),
+        F.sum(_micros(F.col("l_extendedprice"))).alias("sum_base_price_micros"),
+        F.sum(
+            _micros(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("sum_disc_price_micros"),
+    )
+
+
+def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with explicit broadcast of the dimension tables."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_micros(F.col("o_totalprice"))).alias("revenue_micros"),
+        )
+    )
+
+
+def _q_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> nation -> region star join, broadcast dims."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(_micros(F.col("s_acctbal"))).alias("sum_acctbal_micros"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_derive": _q_spans_derive,
@@ -189,6 +278,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "status_counts": _q_status_counts,
         "top_orders": _q_top_orders,
+        "sentences": _q_sentences,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "sessionize": _q_sessionize,
+        "tumbling": _q_tumbling,
+        "pricing_summary": _q_pricing_summary,
+        "nation_revenue": _q_nation_revenue,
+        "supplier_region": _q_supplier_region,
     }
 
 
@@ -456,6 +554,195 @@ SELECT md5(text) AS content_hash,
        min(CAST(doc_id AS VARCHAR)) AS canonical_doc,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text)
+"""
+
+    # sentences: paragraph segments split at '[.!?] ' boundaries. RE2 has no
+    # lookbehind, so the split keeps a marker char: replace '([.!?]) ' with
+    # '\\1 <marker>' then split on the marker — segment k keeps its trailing
+    # space, exactly like the python lookbehind split in core/textseg.py.
+    sql["sentences"] = (
+        _SQL_PAGES_CTE
+        + f""",
+contrib AS (
+  SELECT o.doc_id, o.span_offset, o.text,
+         o.span_offset // {spec.PAGE_SPANS} AS page_number,
+         CAST(row_number() OVER (
+           PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
+           ORDER BY o.span_offset) - 1 AS BIGINT) AS k,
+         CAST(coalesce(sum(length(o.text)) OVER (
+           PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
+           ORDER BY o.span_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_len
+  FROM outspans o WHERE o.text != ''
+),
+paras AS (
+  SELECT c.doc_id,
+         pb.page_start + c.prev_len + c.k AS par_start,
+         string_split(regexp_replace(c.text, '([.!?]) ', '\\1 ' || chr(1), 'g'), chr(1)) AS segs
+  FROM contrib c
+  JOIN pagebounds pb ON c.doc_id = pb.doc_id AND c.page_number = pb.page_number
+),
+sents AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(segs)), k -> struct_pack(
+           sent_start := par_start + coalesce(length(array_to_string(segs[1:k], '')), 0),
+           sent_text := segs[k+1]
+         ))) AS s
+  FROM paras
+)
+SELECT doc_id,
+       CAST(s.sent_start AS BIGINT) AS sent_start,
+       CAST(s.sent_start + length(s.sent_text) AS BIGINT) AS sent_end,
+       {_sql_lang('s.sent_text')} AS language
+FROM sents WHERE length(s.sent_text) > 0
+"""
+    )
+
+    # near-dup pairs: shingle -> salted-md5 minhash -> banded LSH bucket join
+    # -> exact Jaccard verify (mirrors operators/dedup.py incl. MAX_BUCKET)
+    sql["near_dup_pairs"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(ws) - {spec.SHINGLE_K - 1}),
+           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingles
+  FROM t WHERE len(ws) >= {spec.SHINGLE_K}
+),
+mh AS (
+  SELECT doc_id, shingles,
+         list_transform(range({spec.MINHASH_PERMS}),
+           p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b*{spec.MINHASH_PERMS // spec.LSH_BANDS}+1 :
+                                 b*{spec.MINHASH_PERMS // spec.LSH_BANDS}+{spec.MINHASH_PERMS // spec.LSH_BANDS}], ',')) AS band_sig
+  FROM mh, unnest(range({spec.LSH_BANDS})) AS tt(b)
+),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY b, band_sig) AS bucket_n FROM bands
+),
+kept AS (SELECT * FROM counted WHERE bucket_n <= 64),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM kept a JOIN kept b2 ON a.b = b2.b AND a.band_sig = b2.band_sig
+  WHERE a.doc_id < b2.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM pairs p
+JOIN sh sa ON p.doc_a = sa.doc_id
+JOIN sh sb ON p.doc_b = sb.doc_id
+"""
+
+    def _dotp(a: str, b: str, dim: int = 64) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range({dim}), "
+            f"j -> {a}[j+1]::DOUBLE * {b}[j+1]::DOUBLE)), (x, y) -> x + y)"
+        )
+
+    sql["ann_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, cand_id,
+         {_dotp('qv', 'cv')} / (sqrt({_dotp('qv', 'qv')}) * sqrt({_dotp('cv', 'cv')})) AS cosine
+  FROM c, q WHERE cand_id != query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # SRP plane component p,j = hexval(md5(p':'j)[0]) - 7.5  (deterministic)
+    _plane_dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(64), "
+        "j -> {v}[j+1]::DOUBLE * "
+        "(strpos('0123456789abcdef', substr(md5(p || ':' || j), 1, 1)) - 1 - 7.5))), "
+        "(x, y) -> x + y)"
+    )
+    _bucket = (
+        "array_to_string(list_transform(range(4), p -> CASE WHEN "
+        + _plane_dot
+        + " >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    sql["ann_lsh_topk"] = f"""
+WITH wb AS (
+  SELECT vec_id AS vid, embedding AS vec,
+         {_bucket.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vid AS query_id, vec AS qv, bucket FROM wb WHERE vid < 20),
+c AS (SELECT vid AS cand_id, vec AS cv, bucket FROM wb),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+         {_dotp('q.qv', 'c.cv')} / (sqrt({_dotp('q.qv', 'q.qv')}) * sqrt({_dotp('c.cv', 'c.cv')})) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket AND c.cand_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    sql["sessionize"] = f"""
+WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > {events.SESSION_GAP_SEC} * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+s AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq,
+       min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+    sql["tumbling"] = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_value_micros
+FROM events GROUP BY 1, 2
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS sum_qty_micros,
+       sum(CAST(floor(l_extendedprice * 1000000.0) AS BIGINT)) AS sum_base_price_micros,
+       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) AS sum_disc_price_micros
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["nation_revenue"] = """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS revenue_micros
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["supplier_region"] = """
+SELECT r_name, count(*) AS n_suppliers,
+       sum(CAST(floor(s_acctbal * 1000000.0) AS BIGINT)) AS sum_acctbal_micros
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """
 
     sql["status_counts"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

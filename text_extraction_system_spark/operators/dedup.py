@@ -1,0 +1,128 @@
+"""Near-duplicate detection: shingling, MinHash signatures, LSH banding,
+candidate-pair generation, exact n-gram Jaccard verification.
+
+Scale shape (the reason this is LSH and not O(n^2)): signatures and bands are
+per-row Catalyst expressions (narrow); the only shuffle is the band-bucket
+self-join, whose buckets are tiny by construction (a band collision implies
+high estimated Jaccard). At 10^12 docs the bucket join is the classic
+dedup-at-scale plan; a skew guard caps pathological buckets.
+
+MinHash family: one "permutation" per salt p is h_p(s) = md5(p || ':' || s),
+minimized lexicographically over the doc's distinct shingles — deterministic
+and reproducible in any engine with md5 (no RNG, no seed state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..core import spec
+from . import exprutil
+
+#: buckets larger than this are dropped as degenerate (boilerplate shingles);
+#: a bucket of b docs yields b^2 pairs — this caps join blowup at scale
+MAX_BUCKET = 64
+
+
+def shingles_col(text: Column, k: int = spec.SHINGLE_K) -> Column:
+    """Distinct word k-shingles of a text column."""
+    words = F.filter(F.split(text, " "), lambda w: w != "")
+    n = F.size(words) - (k - 1)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )
+
+
+def minhash_sig_col(shingles: Column, perms: int = spec.MINHASH_PERMS) -> Column:
+    """array<string> of length ``perms``: lexicographic-min salted md5."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(perms - 1)),
+        lambda p: F.array_min(
+            F.transform(
+                shingles, lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s))
+            )
+        ),
+    )
+
+
+def band_sigs_col(sig: Column, bands: int = spec.LSH_BANDS,
+                  perms: int = spec.MINHASH_PERMS) -> Column:
+    """array<struct<band:int, band_sig:string>> — md5 of each band's rows."""
+    rows = perms // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.array_join(F.slice(sig, b * rows + 1, rows), ",")).alias("band_sig"),
+        ),
+    )
+
+
+def doc_shingles(docs: DataFrame, doc_id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles) for docs with at least one shingle."""
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        shingles_col(F.col(text_col)).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+
+
+def lsh_candidate_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs sharing at least one LSH band.
+
+    Plan: narrow sig/band computation -> explode bands -> self-join on
+    (band, band_sig) -> distinct. The join keys are hashes, so the shuffle is
+    uniformly distributed by construction; MAX_BUCKET drops degenerate keys.
+    """
+    # let-bind the signature: band_sigs references it LSH_BANDS times, and
+    # without the binding the whole minhash fold would re-run per band
+    sigs = doc_shingles(docs, doc_id_col, text_col).select(
+        "doc_id",
+        exprutil.let(
+            minhash_sig_col(F.col("shingles")), lambda sig: band_sigs_col(sig)
+        ).alias("bands"),
+    )
+    exploded = sigs.select("doc_id", F.explode("bands").alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    )
+    # skew guard: drop buckets that would explode the pair join
+    counted = exploded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+    ).where(F.col("bucket_n") <= MAX_BUCKET)
+    a = counted.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = counted.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """LSH candidates verified with exact Jaccard over distinct shingles.
+
+    The verify joins are candidate-pair-sized (tiny vs the corpus); shingle
+    sets ride along via two hash joins on doc_id.
+    """
+    pairs = lsh_candidate_pairs(docs, doc_id_col, text_col)
+    sh = doc_shingles(docs, doc_id_col, text_col)
+    return (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
+                     .withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )

@@ -80,3 +80,28 @@ def paragraph_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFr
     return assembled.select("doc_id", text_col).mapInPandas(
         gen, schema=_PARAGRAPH_ROWS_SCHEMA
     )
+
+
+_SENTENCE_ROWS_SCHEMA = (
+    "doc_id string, sent_start long, sent_end long, language string"
+)
+
+
+def sentence_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFrame:
+    """Row-per-sentence segmentation (W1) via ``mapInPandas``."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "sent_start": [], "sent_end": [], "language": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                t = text if text is not None else ""
+                for s, e in textseg.sentence_spans(t):
+                    out["doc_id"].append(doc_id)
+                    out["sent_start"].append(s)
+                    out["sent_end"].append(e)
+                    out["language"].append(langid.detect_language(t[s:e]))
+            yield pd.DataFrame(out, columns=list(out.keys()))
+
+    return assembled.select("doc_id", text_col).mapInPandas(
+        gen, schema=_SENTENCE_ROWS_SCHEMA
+    )
