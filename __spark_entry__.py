@@ -20,7 +20,17 @@ from pyspark.sql import functions as F
 from text_extraction_system_spark import pipeline
 from text_extraction_system_spark.core import spec
 from text_extraction_system_spark.operators import derive_spans as ds
-from text_extraction_system_spark.operators import dedup, events, ocr, similarity, textstats
+from text_extraction_system_spark.operators import (
+    boilerplate,
+    corpus_synth,
+    dedup,
+    events,
+    multimodal,
+    ocr,
+    rotation,
+    similarity,
+    textstats,
+)
 from text_extraction_system_spark.operators import structure as structure_op
 
 _HEX = "0123456789abcdef"
@@ -262,6 +272,30 @@ def _q_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/F4/C1: per-media-span rotation detect (stubbed raw angle) ->
+    normalize -> snap-to-right-angle -> text-dominance correction guard."""
+    return rotation.rotation_rows(_docs(spark, sf_dir))
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1-I5 analog: binary media payloads -> typed metadata via Arrow
+    mapInPandas (deterministic fake decode; real binary plumbing)."""
+    return multimodal.decode_media(_docs(spark, sf_dir))
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 analog: HTML boilerplate strip by text/link-density scoring over a
+    deterministically derived HTML corpus."""
+    return boilerplate.strip_boilerplate(corpus_synth.html_docs(_docs(spark, sf_dir)))
+
+
+def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J8: heading-heuristic section detection with next-heading end
+    assignment, over a derived heading-bearing corpus."""
+    return structure_op.section_rows(corpus_synth.heading_docs(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_derive": _q_spans_derive,
@@ -287,6 +321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "nation_revenue": _q_nation_revenue,
         "supplier_region": _q_supplier_region,
+        "rotation": _q_rotation,
+        "media_decode": _q_media_decode,
+        "boilerplate": _q_boilerplate,
+        "sections": _q_sections,
     }
 
 
@@ -743,6 +781,135 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+    sql["rotation"] = (
+        _SQL_SPANS_CTE
+        + ","
+        + _SQL_COVERS_CTE
+        + f""",
+media AS (
+  SELECT s.doc_id, s.span_offset, s.media_ref,
+         nd.text_cover / greatest(nd.text_cover + nd.media_cover, 1) AS text_share,
+         (strpos('{_HEX}', substr(md5(s.media_ref), 3, 1)) - 1) * 24.0e0 - 180.0e0 AS raw_angle
+  FROM spans s JOIN needs nd ON s.doc_id = nd.doc_id
+  WHERE s.kind = 'media'
+),
+norm AS (
+  SELECT *, CASE WHEN m < 180.0e0 THEN m ELSE m - 360.0e0 END AS n
+  FROM (SELECT *, raw_angle - floor(raw_angle / 360.0e0) * 360.0e0 AS m FROM media)
+),
+snapped AS (
+  SELECT *, CASE WHEN abs(n - round(n / 90.0, 0) * 90.0e0) > {rotation.SNAP_MAX_DIFF}
+                 THEN 0.0e0 ELSE n END AS detected_angle
+  FROM norm
+)
+SELECT doc_id, span_offset, media_ref, raw_angle, detected_angle,
+       (CASE WHEN detected_angle < 0 THEN -1.0e0 ELSE 1.0e0 END)
+       * (CASE WHEN abs(detected_angle) > 45.0e0 THEN abs(detected_angle) - 90.0
+               ELSE abs(detected_angle) END) AS angle90,
+       (abs(detected_angle) > 0.0e0 AND text_share < {rotation.TEXT_DOMINANCE_GUARD})
+         AS should_correct
+FROM snapped
+"""
+    )
+
+    sql["media_decode"] = (
+        _SQL_SPANS_CTE
+        + f"""
+SELECT doc_id, media_ref,
+       CAST(16 * strpos('{_HEX}', substr(md5(media_ref), 1, 1)) AS BIGINT) AS n_bytes,
+       CAST(64 * strpos('{_HEX}', substr(md5(media_ref), 3, 1)) AS BIGINT) AS width,
+       CAST(64 * strpos('{_HEX}', substr(md5(media_ref), 4, 1)) AS BIGINT) AS height,
+       (['jpeg', 'png', 'tiff', 'webp'])[(strpos('{_HEX}', substr(md5(media_ref), 5, 1)) - 1) % 4 + 1] AS format
+FROM spans WHERE kind = 'media'
+"""
+    )
+
+    _strip = "trim(regexp_replace(b, '<[^>]*>', '', 'g'))"
+    _linklen = (
+        "coalesce(list_sum(list_transform(regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), "
+        "t -> length(t))), 0)"
+    )
+    _keep = (
+        f"length({_strip}) >= {boilerplate.MIN_TEXT_LEN} "
+        f"AND length({_strip}) / greatest(length(b), 1) >= {boilerplate.MIN_DENSITY} "
+        f"AND {_linklen} / greatest(length({_strip}), 1) <= {boilerplate.MAX_LINK_DENSITY} "
+        "AND NOT regexp_matches(b, '<(nav|footer|aside)[ >]')"
+    )
+    sql["boilerplate"] = f"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM documents
+),
+n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / {spec.SPAN_WORDS}.0) AS INT) AS n_text FROM src),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(ws[i * {spec.SPAN_WORDS} + 1 : i * {spec.SPAN_WORDS} + {spec.SPAN_WORDS}], ' ') AS chunk
+  FROM n, unnest(range(n_text)) AS t(i)
+),
+html AS (
+  SELECT doc_id,
+         '{corpus_synth.NAV_LINE}' || chr(10)
+         || string_agg('<p>' || chunk || '</p>', chr(10) ORDER BY i) || chr(10)
+         || '{corpus_synth.AD_LINE}' || chr(10) || '{corpus_synth.FOOTER_LINE}' AS html
+  FROM chunks GROUP BY doc_id
+)
+SELECT doc_id,
+       array_to_string(list_transform(
+         list_filter(list_filter(string_split(html, chr(10)), b -> trim(b) != ''),
+                     b -> {_keep}),
+         b -> {_strip}), chr(10)) AS main_text
+FROM html
+"""
+
+    _head_pat = r"'^(\d+(?:\.\d+)*)\.?\s+(\S.*)$'"
+    sql["sections"] = f"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM documents
+),
+n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / {spec.SPAN_WORDS}.0) AS INT) AS n_text FROM src),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(ws[i * {spec.SPAN_WORDS} + 1 : i * {spec.SPAN_WORDS} + {spec.SPAN_WORDS}], ' ') AS chunk
+  FROM n, unnest(range(n_text)) AS t(i)
+),
+plist AS (SELECT doc_id, list(chunk ORDER BY i) AS cl FROM chunks GROUP BY doc_id),
+paras AS (
+  SELECT doc_id, flatten(list_transform(range(len(cl)), i -> CASE WHEN i % 3 = 0
+    THEN [CAST(i // 3 + 1 AS VARCHAR) || (CASE WHEN i % 6 = 0 THEN '.' ELSE '.1' END) || ' ' || cl[i+1], cl[i+1]]
+    ELSE [cl[i+1]] END)) AS pl
+  FROM plist
+),
+withlen AS (SELECT doc_id, pl, length(array_to_string(pl, chr(10))) AS total_len FROM paras),
+heads AS (
+  SELECT doc_id, total_len,
+         unnest(list_filter(list_transform(range(len(pl)), k -> struct_pack(
+           hstart := CASE WHEN k = 0 THEN 0
+                     ELSE length(array_to_string(pl[1:k], chr(10))) + 1 END,
+           ptext := pl[k+1]
+         )), s -> regexp_matches(s.ptext, {_head_pat}))) AS h
+  FROM withlen
+),
+secs AS (
+  SELECT doc_id, total_len,
+         CAST(h.hstart AS BIGINT) AS start,
+         regexp_extract(h.ptext, {_head_pat}, 2) AS title,
+         CAST(h.hstart + length(h.ptext) - length(regexp_extract(h.ptext, {_head_pat}, 2)) AS BIGINT) AS title_start,
+         CAST(h.hstart + length(h.ptext) AS BIGINT) AS title_end,
+         CAST(length(regexp_extract(h.ptext, {_head_pat}, 1))
+              - length(replace(regexp_extract(h.ptext, {_head_pat}, 1), '.', '')) + 1 AS BIGINT) AS level
+  FROM heads
+)
+SELECT s.doc_id, s.start,
+       CAST(coalesce(min(t.start), any_value(s.total_len)) AS BIGINT) AS "end",
+       s.title, s.title_start, s.title_end, s.level
+FROM secs s
+LEFT JOIN secs t ON t.doc_id = s.doc_id AND t.start > s.start AND t.level <= s.level
+GROUP BY s.doc_id, s.start, s.title, s.title_start, s.title_end, s.level
 """
 
     sql["status_counts"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

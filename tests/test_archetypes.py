@@ -1,0 +1,106 @@
+"""Archetype corpus (FIXTURES.md section 3) through the full pipeline vs the
+oracle — including OCR-decision polarity, failure capture, empty docs, and
+the giant-skew doc through the fanout path."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_extraction_system_spark import pipeline, synth
+from text_extraction_system_spark.core import oracle
+
+
+@pytest.fixture(scope="module")
+def archetype_results(spark):
+    df = synth.corpus_df(spark)
+    res = pipeline.extract_from_spans(df, fanout_threshold=256)
+    return {r["doc_id"]: r.asDict(recursive=True) for r in res.collect()}
+
+
+@pytest.fixture(scope="module")
+def archetype_oracle():
+    out = {}
+    for doc_id, spans in synth.corpus():
+        in_spans = [
+            oracle.Span(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+        ]
+        out[doc_id] = oracle.extract_spans(doc_id, in_spans)
+    return out
+
+
+def test_span_equality_all_archetypes(archetype_results, archetype_oracle):
+    for doc_id, exp in archetype_oracle.items():
+        got = archetype_results[doc_id]
+        got_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["out_spans"]]
+        exp_spans = [(s.kind, s.text, s.media_ref, s.offset) for s in exp.out_spans]
+        assert got_spans == exp_spans, doc_id
+        assert got["plain_text"] == exp.plain_text, doc_id
+        assert got["needs_ocr"] == exp.needs_ocr, doc_id
+        assert got["parse_failures"] == exp.parse_failures, doc_id
+
+
+def test_ocr_polarity(archetype_oracle):
+    """media_heavy docs must fire OCR; text_heavy must not (reference:
+    test_pdf.py:14-24 positive/negative predicate cases)."""
+    assert archetype_oracle["mediaheavy_0"].needs_ocr is True
+    assert archetype_oracle["textheavy_0"].needs_ocr is False
+
+
+def test_media_heavy_gets_ocr_text(archetype_results):
+    got = archetype_results["mediaheavy_0"]
+    media_texts = [s["text"] for s in got["out_spans"] if s["kind"] == "media"]
+    assert media_texts and all(t != "" for t in media_texts)
+
+
+def test_corrupt_doc_failure_codes(archetype_results):
+    got = archetype_results["corrupt_0"]
+    assert got["parse_failures"] == ["bad_media_ref:1"]
+    # corrupt media contributes no text but keeps its place in the sequence
+    kinds = [s["kind"] for s in got["out_spans"]]
+    assert kinds == ["text", "media", "text"]
+    assert got["out_spans"][1]["text"] == ""
+
+
+def test_nine_pages_markers(archetype_results):
+    got = archetype_results["ninepages_0"]
+    assert len(got["pages"]) == 9
+    for p in range(9):
+        page = got["pages"][p]
+        page_text = got["plain_text"][page["start"]: page["end"]]
+        assert f"This is page {p + 1}." in page_text
+        for q in range(9):
+            if q != p:
+                assert f"This is page {q + 1}." not in page_text
+
+
+def test_structured_counts(archetype_results):
+    """Reference-style golden counts (test_data_extract.py:30-41 analog)."""
+    st = archetype_results["structured_0"]["structure"]
+    assert len(st["paragraphs"]) == 5
+    # 18: numbered headings split after 'N. ' plus 3+5+6 body sentences
+    assert len(st["sentences"]) == 18
+    assert len(st["sections"]) == 3
+    assert st["sections"][0]["title"] == "INTRODUCTION TO SORTING"
+    assert [s["level"] for s in st["sections"]] == [1, 1, 2]
+    # section end assignment: sec1 ends where sec2 starts; sec2.1 runs to EOF
+    assert st["sections"][0]["end"] == st["sections"][1]["start"]
+
+
+def test_lang_samples(archetype_results):
+    for lang in ("en", "de", "es", "fr"):
+        assert archetype_results[f"lang_{lang}"]["structure"]["language"] == lang
+
+
+def test_empty_doc(archetype_results):
+    got = archetype_results["empty_0"]
+    assert got["plain_text"] == ""
+    assert got["out_spans"] == []
+    assert got["pages"] == []
+
+
+def test_giant_skew_fanout(archetype_results, archetype_oracle):
+    """2000-span doc exceeds the fanout threshold -> explode/gather path."""
+    got = archetype_results["giant_0"]
+    exp = archetype_oracle["giant_0"]
+    assert len(got["out_spans"]) == 2000
+    assert got["plain_text"] == exp.plain_text

@@ -1,0 +1,54 @@
+"""Checkpoint/resume semantics (north rule): kill-and-resume produces the
+identical final table with no duplicate doc_ids; lineage rows account for
+every processed doc and every failure code."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_extraction_system_spark import lineage, synth
+
+
+@pytest.fixture()
+def base_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_partial_then_resume(spark, base_dir):
+    full = synth.corpus_df(spark)
+    n_total = full.count()
+
+    # simulate a killed first run: only half the docs were committed
+    first_half = full.limit(n_total // 2)
+    r1 = lineage.run_extraction(spark, first_half, base_dir, run_id="run1")
+    assert r1["docs_processed"] == n_total // 2
+
+    # resume over the FULL input: only the missing docs are processed
+    r2 = lineage.run_extraction(spark, full, base_dir, run_id="run2")
+    assert r2["docs_skipped"] == n_total // 2
+    assert r2["docs_processed"] == n_total - n_total // 2
+
+    results = spark.read.parquet(f"{base_dir}/results")
+    assert results.count() == n_total
+    assert results.select("doc_id").distinct().count() == n_total
+
+    # idempotent re-run: nothing left to do
+    r3 = lineage.run_extraction(spark, full, base_dir, run_id="run3")
+    assert r3["docs_processed"] == 0
+    assert spark.read.parquet(f"{base_dir}/results").count() == n_total
+
+
+def test_lineage_metrics(spark, base_dir):
+    full = synth.corpus_df(spark)
+    lineage.run_extraction(spark, full, base_dir, run_id="runm")
+    metrics = spark.read.parquet(f"{base_dir}/metrics")
+    rows = metrics.collect()
+    assert rows
+    assert {r["run_id"] for r in rows} == {"runm"}
+    assert len({r["snapshot_id"] for r in rows}) == 1
+    # per-partition counts add up to the corpus
+    assert sum(r["doc_count"] for r in rows) == full.count()
+    # the corrupt archetype's failure codes surface in lineage
+    all_codes = {c for r in rows for c in r["failure_codes"]}
+    assert "bad_media_ref:1" in all_codes
+    assert sum(r["failure_count"] for r in rows) == 3  # 3 corrupt docs

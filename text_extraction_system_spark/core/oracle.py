@@ -36,6 +36,7 @@ class Extraction:
     plain_text: str
     title: str
     language: str
+    parse_failures: list[str] = field(default_factory=list)
     pages: list[dict] = field(default_factory=list)
     paragraphs: list[dict] = field(default_factory=list)
     sentences: list[dict] = field(default_factory=list)
@@ -72,17 +73,23 @@ def needs_ocr(spans: list[Span]) -> bool:
     return text_cover < spec.OCR_RATIO * media_cover
 
 
-def restitch(spans: list[Span], ocr: bool) -> list[Span]:
-    """Output span sequence: media spans gain OCR text iff the doc needs OCR.
-    (kind, media_ref, order) are preserved exactly — the north-rule invariant
-    (reference merge order: tasks.py:394-429, pdf/pdf.py:327-367)."""
+def restitch(spans: list[Span], ocr: bool) -> tuple[list[Span], list[str]]:
+    """Output span sequence: media spans gain OCR text iff the doc needs OCR
+    and the ref is decodable (media:// scheme); undecodable refs become
+    failure codes, never exceptions. (kind, media_ref, order) are preserved
+    exactly — the north-rule invariant (reference merge order:
+    tasks.py:394-429, pdf/pdf.py:327-367)."""
     out = []
+    failures: list[str] = []
     for s in spans:
-        if s.kind == "media" and ocr:
+        if s.kind == "media" and not s.media_ref.startswith("media://"):
+            failures.append(f"bad_media_ref:{s.offset}")
+            out.append(Span(s.kind, s.text, s.media_ref, s.offset))
+        elif s.kind == "media" and ocr:
             out.append(Span("media", ocr_stub.ocr_text(s.media_ref), s.media_ref, s.offset))
         else:
             out.append(Span(s.kind, s.text, s.media_ref, s.offset))
-    return out
+    return out, failures
 
 
 def assemble(out_spans: list[Span]) -> tuple[str, list[dict]]:
@@ -121,8 +128,14 @@ def assemble(out_spans: list[Span]) -> tuple[str, list[dict]]:
 def extract(doc_id: str, text: str) -> Extraction:
     """Full oracle pipeline for one document."""
     in_spans = derive_spans(doc_id, text)
+    return extract_spans(doc_id, in_spans)
+
+
+def extract_spans(doc_id: str, in_spans: list[Span]) -> Extraction:
+    """Oracle pipeline over an already-materialized span sequence (used for
+    the archetype corpus where spans are authored directly)."""
     ocr = needs_ocr(in_spans)
-    out_spans = restitch(in_spans, ocr)
+    out_spans, failures = restitch(in_spans, ocr)
     plain_text, pages = assemble(out_spans)
     paragraphs = [
         {"start": s, "end": e, "language": langid.detect_language(plain_text[s:e])}
@@ -140,6 +153,7 @@ def extract(doc_id: str, text: str) -> Extraction:
         plain_text=plain_text,
         title=textseg.detect_title(plain_text),
         language=langid.detect_language(plain_text),
+        parse_failures=failures,
         pages=pages,
         paragraphs=paragraphs,
         sentences=sentences,

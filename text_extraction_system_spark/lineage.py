@@ -1,0 +1,118 @@
+"""Lineage metrics + idempotent checkpoint/resume (SURVEY.md T2-T4, section 4).
+
+The reference recovers lost Celery tasks with a WebDAV task registry and a
+120 s beat re-scheduler (``task_health/task_health.py:15-139``) and guards
+double-delivery with a racy final metadata check (``tasks.py:550-565``). The
+Spark rebuild replaces all of it with:
+
+* **within a job**  — Spark task retries (nothing to build);
+* **across jobs**   — resume = LEFT ANTI join of the input against the
+  committed results' doc_ids, then append-only commit of the new slice. On
+  Iceberg this is ``MERGE INTO results ON doc_id`` with snapshot isolation;
+  the local-parquet twin appends a new file per run, which is atomic at the
+  directory level for this sandbox.
+* **lineage**       — one metrics row per output partition: run id, input
+  snapshot id, partition id, doc/span/byte counts, parse-failure codes.
+
+Output layout under ``base_dir``:
+  results/   one row per doc: doc_id, needs_ocr, out_spans, plain_text,
+             pages, parse_failures, run_id
+  metrics/   LINEAGE rows (schemas.LINEAGE + finished_at)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline
+
+
+def snapshot_id(docs: DataFrame) -> str:
+    """Deterministic id of the input snapshot: hash of source file list."""
+    files = sorted(f.split("/")[-1] + ":" + f for f in docs.inputFiles())
+    return hashlib.md5("|".join(files).encode()).hexdigest()[:16]
+
+
+def committed_doc_ids(spark: SparkSession, base_dir: str) -> DataFrame | None:
+    path = os.path.join(base_dir, "results")
+    try:
+        return spark.read.parquet(path).select("doc_id")
+    except Exception:
+        return None
+
+
+def run_extraction(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    base_dir: str,
+    run_id: str | None = None,
+    fanout_threshold: int | None = None,
+) -> dict:
+    """Process only not-yet-committed docs; append results + lineage rows.
+
+    Returns {"run_id", "snapshot_id", "docs_processed", "docs_skipped"}.
+    Re-running after a kill processes exactly the missing docs; re-running
+    on a complete output is a no-op (exactly-once at doc granularity).
+    """
+    run_id = run_id or f"run_{int(time.time() * 1000):x}"
+    snap = snapshot_id(spans_df)
+
+    committed = committed_doc_ids(spark, base_dir)
+    todo = spans_df
+    skipped = 0
+    if committed is not None:
+        total = spans_df.count()
+        todo = spans_df.join(committed, "doc_id", "left_anti")
+        remaining = todo.count()
+        skipped = total - remaining
+
+    kwargs = {"with_structure": False}
+    if fanout_threshold is not None:
+        kwargs["fanout_threshold"] = fanout_threshold
+    results = pipeline.extract_from_spans(todo, **kwargs).withColumn(
+        "run_id", F.lit(run_id)
+    )
+
+    results_path = os.path.join(base_dir, "results")
+    results.write.mode("append").parquet(results_path)
+
+    # lineage from the committed slice: per input-partition accounting
+    written = spark.read.parquet(results_path).where(F.col("run_id") == run_id)
+    metrics = (
+        written.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.size("out_spans")).cast("long").alias("span_count"),
+            F.sum(F.length("plain_text")).cast("long").alias("byte_count"),
+            F.sum(F.size("parse_failures")).cast("long").alias("failure_count"),
+            F.array_distinct(
+                F.flatten(F.collect_list("parse_failures"))
+            ).alias("failure_codes"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snap).alias("snapshot_id"),
+            "partition_id",
+            "doc_count",
+            "span_count",
+            "byte_count",
+            "failure_count",
+            "failure_codes",
+            F.current_timestamp().alias("finished_at"),
+        )
+    )
+    metrics.write.mode("append").parquet(os.path.join(base_dir, "metrics"))
+
+    processed = written.count()
+    return {
+        "run_id": run_id,
+        "snapshot_id": snap,
+        "docs_processed": processed,
+        "docs_skipped": skipped,
+    }

@@ -74,11 +74,12 @@ def pages_col(page_texts: Column) -> Column:
 
 
 def assemble(stitched: DataFrame) -> DataFrame:
-    """(doc_id, needs_ocr, out_spans) -> + (plain_text, pages)."""
+    """(doc_id, needs_ocr, parse_failures, out_spans) -> + (plain_text, pages)."""
     with_pages = stitched.withColumn("_page_texts", page_texts_col(F.col("out_spans")))
     return with_pages.select(
         "doc_id",
         "needs_ocr",
+        "parse_failures",
         "out_spans",
         plain_text_col(F.col("_page_texts")).alias("plain_text"),
         pages_col(F.col("_page_texts")).alias("pages"),

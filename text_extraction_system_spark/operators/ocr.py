@@ -64,14 +64,36 @@ def ocr_text_col(media_ref: Column) -> Column:
     )
 
 
+def valid_media_col(media_ref: Column) -> Column:
+    """Parse-validity gate: only the media:// scheme is decodable. Invalid
+    refs become failure-code lineage rows, never exceptions (reference
+    captures crashy-parser output as request failure, not worker death —
+    processes.py:47-61, pdf/pdf.py:59-67)."""
+    return media_ref.startswith("media://")
+
+
 def apply_ocr_to_span(s: Column, do_ocr: Column) -> Column:
     """One span struct -> output span struct: media spans gain OCR text iff
-    the doc-level decision fired; (kind, media_ref, offset) preserved."""
+    the doc-level decision fired and the ref is decodable;
+    (kind, media_ref, offset) preserved."""
     return F.struct(
         s["kind"].alias("kind"),
-        F.when((s["kind"] == "media") & do_ocr, ocr_text_col(s["media_ref"]))
+        F.when(
+            (s["kind"] == "media") & do_ocr & valid_media_col(s["media_ref"]),
+            ocr_text_col(s["media_ref"]),
+        )
         .otherwise(s["text"])
         .alias("text"),
         s["media_ref"].alias("media_ref"),
         s["offset"].alias("offset"),
+    )
+
+
+def parse_failures_col(spans: Column) -> Column:
+    """array<string> of per-span failure codes for undecodable media refs."""
+    bad = F.filter(
+        spans, lambda s: (s["kind"] == "media") & ~valid_media_col(s["media_ref"])
+    )
+    return F.transform(
+        bad, lambda s: F.concat(F.lit("bad_media_ref:"), s["offset"].cast("string"))
     )

@@ -30,14 +30,17 @@ DEFAULT_FANOUT_THRESHOLD = 256
 
 
 def process_spans_inline(spans_df: DataFrame) -> DataFrame:
-    """(doc_id, spans) -> (doc_id, needs_ocr, out_spans); no shuffle."""
+    """(doc_id, spans) -> (doc_id, needs_ocr, out_spans, parse_failures);
+    no shuffle."""
     return spans_df.select(
         "doc_id",
         ocr.needs_ocr_col(F.col("spans")).alias("needs_ocr"),
+        ocr.parse_failures_col(F.col("spans")).alias("parse_failures"),
         "spans",
     ).select(
         "doc_id",
         "needs_ocr",
+        "parse_failures",
         F.transform(
             F.col("spans"), lambda s: ocr.apply_ocr_to_span(s, F.col("needs_ocr"))
         ).alias("out_spans"),
@@ -52,17 +55,21 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
     (offset, span) structs is the ordered re-merge.
     """
     decided = spans_df.select(
-        "doc_id", ocr.needs_ocr_col(F.col("spans")).alias("needs_ocr"), "spans"
+        "doc_id",
+        ocr.needs_ocr_col(F.col("spans")).alias("needs_ocr"),
+        ocr.parse_failures_col(F.col("spans")).alias("parse_failures"),
+        "spans",
     )
     exploded = decided.select(
-        "doc_id", "needs_ocr", F.explode("spans").alias("s")
+        "doc_id", "needs_ocr", "parse_failures", F.explode("spans").alias("s")
     )
     mapped = exploded.select(
         "doc_id",
         "needs_ocr",
+        "parse_failures",
         ocr.apply_ocr_to_span(F.col("s"), F.col("needs_ocr")).alias("o"),
     )
-    gathered = mapped.groupBy("doc_id", "needs_ocr").agg(
+    gathered = mapped.groupBy("doc_id", "needs_ocr", "parse_failures").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("o.offset").alias("offset"), F.col("o").alias("s")))
         ).alias("keyed")
@@ -70,6 +77,7 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
     return gathered.select(
         "doc_id",
         "needs_ocr",
+        "parse_failures",
         F.transform(F.col("keyed"), lambda k: k["s"]).alias("out_spans"),
     )
 

@@ -105,3 +105,29 @@ def sentence_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFra
     return assembled.select("doc_id", text_col).mapInPandas(
         gen, schema=_SENTENCE_ROWS_SCHEMA
     )
+
+
+_SECTION_ROWS_SCHEMA = (
+    "doc_id string, start long, end long, title string, "
+    "title_start long, title_end long, level long"
+)
+
+
+def section_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFrame:
+    """Row-per-section heading detection (W3/J8) via ``mapInPandas``."""
+
+    def gen(batches):
+        cols = ["doc_id", "start", "end", "title", "title_start", "title_end", "level"]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                t = text if text is not None else ""
+                for sec in textseg.detect_sections(t):
+                    out["doc_id"].append(doc_id)
+                    for k in cols[1:]:
+                        out[k].append(sec[k])
+            yield pd.DataFrame(out, columns=cols)
+
+    return assembled.select("doc_id", text_col).mapInPandas(
+        gen, schema=_SECTION_ROWS_SCHEMA
+    )

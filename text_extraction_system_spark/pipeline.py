@@ -53,6 +53,7 @@ def summary(results: DataFrame) -> DataFrame:
     return results.select(
         "doc_id",
         "needs_ocr",
+        F.size("parse_failures").alias("n_failures"),
         F.size("out_spans").alias("n_spans"),
         F.length("plain_text").alias("n_chars"),
         F.size("pages").alias("n_pages"),
