@@ -27,6 +27,7 @@ from text_extraction_system_spark.operators import (
     events,
     multimodal,
     ocr,
+    tables_op,
     rotation,
     similarity,
     textstats,
@@ -296,6 +297,14 @@ def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structure_op.section_rows(corpus_synth.heading_docs(_docs(spark, sf_dir)))
 
 
+def _q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8-I10: table-region detection (pivot-aligned cell clustering with
+    multi-cell-column / min-cell / area-share thresholds) over media spans.
+    Iterative geometry — no SQL oracle; the driver records a rows-only check
+    and pytest goldens pin the behavior (tests/test_tables.py)."""
+    return tables_op.detect_tables(_docs(spark, sf_dir)).drop("data")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_derive": _q_spans_derive,
@@ -325,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "boilerplate": _q_boilerplate,
         "sections": _q_sections,
+        "tables": _q_tables,
     }
 
 
@@ -653,7 +663,10 @@ sh AS (
 mh AS (
   SELECT doc_id, shingles,
          list_transform(range({spec.MINHASH_PERMS}),
-           p -> list_min(list_transform(shingles, s -> md5(p || ':' || s)))) AS sig
+           p -> list_min(list_transform(shingles,
+             s -> (({_sql_tokhash('s')} % {spec.MINHASH_MOD})
+                   * ((2*p + 1) * {spec.MINHASH_MULT} % {spec.MINHASH_MOD})
+                   + p) % {spec.MINHASH_MOD}))) AS sig
   FROM sh
 ),
 bands AS (

@@ -22,12 +22,25 @@ HEADLINE = [
     "extract_restitch",
     "plain_text",
     "paragraphs",
+    "sentences",
+    "sections",
     "ocr_route",
+    "rotation",
+    "media_decode",
+    "boilerplate",
+    "tables",
     "quality",
     "lang_id",
     "fingerprint",
     "simhash",
     "exact_dedup",
+    "near_dup_pairs",
+    "ann_topk",
+    "ann_lsh_topk",
+    "sessionize",
+    "tumbling",
+    "pricing_summary",
+    "nation_revenue",
 ]
 
 

@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the 100 TB posture, enforced by tests.
+
+These pin the properties that make the engine scale, so a refactor that
+silently adds a shuffle or breaks column pruning fails CI:
+
+* column pruning reaches the parquet scan (ReadSchema carries only used cols)
+* the inline extraction path is shuffle-free (no Exchange)
+* dimension joins broadcast (BroadcastHashJoin, no SortMergeJoin)
+* the fanout path shuffles exactly once (the doc_id gather)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_extraction_system_spark import pipeline
+from text_extraction_system_spark.operators import derive_spans as ds
+from text_extraction_system_spark.operators import restitch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ds.derive_spans(docs))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    # unused columns must not be read
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_inline_path_is_shuffle_free(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = ds.derive_spans(docs)
+    assembled = pipeline.extract_from_spans(
+        spans, fanout_threshold=None, with_structure=False
+    )
+    plan = _plan(assembled)
+    assert "Exchange" not in plan, plan
+
+
+def test_fanout_path_shuffles_once(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spans = ds.derive_spans(docs)
+    fanned = restitch.process_spans_fanout(spans)
+    plan = _plan(fanned)
+    # exactly one exchange: the groupBy(doc_id) gather
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dimension_joins_broadcast(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_query_side_broadcasts(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["ann_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

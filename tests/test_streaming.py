@@ -1,0 +1,66 @@
+"""Structured Streaming twins: hermetic file-source runs with
+Trigger.AvailableNow; streaming output must equal the batch output."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_extraction_system_spark import pipeline, synth
+from text_extraction_system_spark.streaming import jobs
+
+
+def test_extraction_stream_matches_batch(spark, tmp_path):
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    corpus = synth.corpus_df(spark)
+    corpus.write.parquet(in_dir)
+
+    jobs.run_extraction_stream(spark, in_dir, out_dir, ckpt)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in pipeline.extract_from_spans(corpus, with_structure=False).collect()
+    }
+    assert set(got) == set(exp)
+    for doc_id in exp:
+        assert got[doc_id]["out_spans"] == exp[doc_id]["out_spans"], doc_id
+        assert got[doc_id]["plain_text"] == exp[doc_id]["plain_text"], doc_id
+
+    # exactly-once on restart: draining again adds nothing
+    jobs.run_extraction_stream(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == len(exp)
+
+
+def test_windowed_counts_stream(spark, tmp_path):
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(in_dir)
+
+    jobs.run_windowed_counts_stream(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    from text_extraction_system_spark.operators import events as ev_ops
+
+    exp = ev_ops.tumbling_counts(spark.read.parquet(in_dir))
+    got_rows = {
+        (r["window_start_us"], r["event_type"]): (r["n"], r["sum_value_micros"])
+        for r in got.collect()
+    }
+    exp_rows = {
+        (r["window_start_us"], r["event_type"]): (r["n"], r["sum_value_micros"])
+        for r in exp.collect()
+    }
+    # append-mode semantics: windows still inside the watermark horizon at
+    # stream end stay in state (emitted only when later data advances the
+    # watermark) — everything older must match the batch result exactly
+    max_us = max(k[0] for k in exp_rows)
+    horizon = max_us - 2 * 3600 * 1_000_000
+    closed = {k: v for k, v in exp_rows.items() if k[0] < horizon}
+    assert set(got_rows).issuperset(closed)
+    for k, v in closed.items():
+        assert got_rows[k] == v, k
+    # nothing emitted that batch doesn't have
+    assert set(got_rows) <= set(exp_rows)
+    for k, v in got_rows.items():
+        assert exp_rows[k] == v, k

@@ -11,21 +11,29 @@ language with the most hits wins; ties (and zero hits) resolve by
 
 from __future__ import annotations
 
-import re
-
 from . import spec
 
-_WS = re.compile(r"\s+")
+#: token -> languages whose stopword list contains it (built once; the UDF
+#: calls this per sentence/paragraph/doc, so per-token work must be one
+#: dict lookup, not len(LANGS) set membership tests)
+_TOKEN_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang in spec.LANG_PRIORITY:
+    for _w in spec.LANG_STOPWORDS[_lang]:
+        _TOKEN_LANGS[_w] = _TOKEN_LANGS.get(_w, ()) + (_lang,)
 
 
 def detect_language(text: str) -> str:
-    tokens = _WS.sub(" ", text.strip().lower()).split(" ") if text.strip() else []
+    # str.split() == squash-\s+-then-split-and-drop-empties, at C speed
+    hits = dict.fromkeys(spec.LANG_PRIORITY, 0)
+    for t in text.lower().split():
+        langs = _TOKEN_LANGS.get(t)
+        if langs:
+            for lang in langs:
+                hits[lang] += 1
     best_lang = spec.DEFAULT_LANG
     best_hits = 0
     for lang in spec.LANG_PRIORITY:
-        sw = set(spec.LANG_STOPWORDS[lang])
-        hits = sum(1 for t in tokens if t in sw)
-        if hits > best_hits:
-            best_hits = hits
+        if hits[lang] > best_hits:
+            best_hits = hits[lang]
             best_lang = lang
     return best_lang

@@ -113,8 +113,16 @@ FP_HEX_CHARS = 7
 # ---------------------------------------------------------------------------
 
 SHINGLE_K = 3          # words per shingle
-MINHASH_PERMS = 16     # number of salted-md5 "permutations"
+MINHASH_PERMS = 16     # number of affine "permutations" over the shingle hash
 LSH_BANDS = 4          # bands of MINHASH_PERMS // LSH_BANDS rows each
+#: permutation p: h_p(s) = (a_p * h(s) + p) mod MINHASH_MOD with
+#: a_p = ((2p+1) * MINHASH_MULT) mod MINHASH_MOD, h(s) = md5-prefix integer —
+#: ONE md5 per shingle, PERMS cheap affine maps. The multiplier must be LARGE:
+#: with small a_p the maps rarely wrap the modulus, stay order-preserving,
+#: and all permutations pick the same argmin shingle (measured: candidate
+#: pairs inflated 80x). a_p*h < 2^62 keeps the arithmetic in int64.
+MINHASH_MOD = (1 << 31) - 1
+MINHASH_MULT = 2654435761  # Knuth multiplicative-hash constant
 
 # ---------------------------------------------------------------------------
 # Quality scoring (length / punctuation / stopword ratios)

@@ -7,9 +7,11 @@ self-join, whose buckets are tiny by construction (a band collision implies
 high estimated Jaccard). At 10^12 docs the bucket join is the classic
 dedup-at-scale plan; a skew guard caps pathological buckets.
 
-MinHash family: one "permutation" per salt p is h_p(s) = md5(p || ':' || s),
-minimized lexicographically over the doc's distinct shingles — deterministic
-and reproducible in any engine with md5 (no RNG, no seed state).
+MinHash family: h_p(s) = ((2p+1) * h(s) + p) mod MINHASH_MOD over the doc's
+distinct shingles, where h(s) is an md5-prefix integer — ONE md5 per shingle,
+PERMS cheap affine maps. Deterministic, RNG-free, reproducible in any engine
+with md5. (A salted-md5-per-permutation formulation was 16x slower: 27s for
+5000 docs at 32 cores, all in interpreted md5+concat churn.)
 """
 
 from __future__ import annotations
@@ -37,15 +39,25 @@ def shingles_col(text: Column, k: int = spec.SHINGLE_K) -> Column:
 
 
 def minhash_sig_col(shingles: Column, perms: int = spec.MINHASH_PERMS) -> Column:
-    """array<string> of length ``perms``: lexicographic-min salted md5."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(perms - 1)),
-        lambda p: F.array_min(
-            F.transform(
-                shingles, lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s))
+    """array<bigint> of length ``perms``: min affine-permuted shingle hash.
+
+    The shingle-hash array is let-bound so the md5 pass runs once, not once
+    per permutation."""
+    from . import textstats
+
+    def sig(hs: Column) -> Column:
+        def perm_min(p: Column) -> Column:
+            a = (p.cast("bigint") * 2 + 1) * spec.MINHASH_MULT % spec.MINHASH_MOD
+            return F.array_min(
+                F.transform(hs, lambda h: (h * a + p) % spec.MINHASH_MOD)
             )
-        ),
+
+        return F.transform(F.sequence(F.lit(0), F.lit(perms - 1)), perm_min)
+
+    hashes = F.transform(
+        shingles, lambda s: textstats.token_hash_col(s) % spec.MINHASH_MOD
     )
+    return exprutil.let(hashes, sig)
 
 
 def band_sigs_col(sig: Column, bands: int = spec.LSH_BANDS,
@@ -56,7 +68,14 @@ def band_sigs_col(sig: Column, bands: int = spec.LSH_BANDS,
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.cast("int").alias("band"),
-            F.md5(F.array_join(F.slice(sig, b * rows + 1, rows), ",")).alias("band_sig"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
+                    ),
+                    ",",
+                )
+            ).alias("band_sig"),
         ),
     )
 

@@ -33,32 +33,41 @@ def _media_ref(doc_id: Column, i: Column) -> Column:
 
 
 def derived_spans_col(doc_id: Column, text: Column) -> Column:
-    """Column expression computing the interleaved span array."""
-    words = F.filter(F.split(text, " "), lambda w: w != "")
-    n_text = F.ceil(F.size(words) / spec.SPAN_WORDS).cast("int")
-    idx = F.when(n_text > 0, F.sequence(F.lit(0), n_text - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+    """Column expression computing the interleaved span array.
 
-    def span_pair(i: Column) -> Column:
-        chunk = F.array_join(F.slice(words, i * spec.SPAN_WORDS + 1, spec.SPAN_WORDS), " ")
-        text_span = F.struct(
-            F.lit("text").alias("kind"),
-            chunk.alias("text"),
-            F.lit("").alias("media_ref"),
-            F.lit(0).alias("offset"),
-        )
-        media_span = F.struct(
-            F.lit("media").alias("kind"),
-            F.lit("").alias("text"),
-            _media_ref(doc_id, i).alias("media_ref"),
-            F.lit(0).alias("offset"),
-        )
-        return F.when(_media_marker(doc_id, i), F.array(text_span, media_span)).otherwise(
-            F.array(text_span)
+    ``words`` is let-bound: it is referenced inside the per-chunk lambda and
+    would otherwise be re-split once per chunk (interpreted HOFs, no CSE)."""
+    from .exprutil import let
+
+    def build(words: Column) -> Column:
+        n_text = F.ceil(F.size(words) / spec.SPAN_WORDS).cast("int")
+        idx = F.when(n_text > 0, F.sequence(F.lit(0), n_text - 1)).otherwise(
+            F.array().cast("array<int>")
         )
 
-    flat = F.flatten(F.transform(idx, span_pair))
+        def span_pair(i: Column) -> Column:
+            chunk = F.array_join(
+                F.slice(words, i * spec.SPAN_WORDS + 1, spec.SPAN_WORDS), " "
+            )
+            text_span = F.struct(
+                F.lit("text").alias("kind"),
+                chunk.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+            media_span = F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                _media_ref(doc_id, i).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+            return F.when(
+                _media_marker(doc_id, i), F.array(text_span, media_span)
+            ).otherwise(F.array(text_span))
+
+        return F.flatten(F.transform(idx, span_pair))
+
+    flat = let(F.filter(F.split(text, " "), lambda w: w != ""), build)
     # assign final sequential offsets (the span-order key of the invariant)
     return F.transform(
         flat,

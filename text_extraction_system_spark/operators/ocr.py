@@ -52,14 +52,20 @@ def needs_ocr_col(spans: Column) -> Column:
 
 
 def ocr_text_col(media_ref: Column) -> Column:
-    """Deterministic recognized text for one media_ref."""
-    h = F.md5(media_ref)
+    """Deterministic recognized text for one media_ref. The md5 is let-bound:
+    referenced inside the per-word lambda it would otherwise be recomputed
+    OCR_WORDS times per span (interpreted HOFs have no CSE)."""
+    from .exprutil import let
+
     vocab = F.array(*[F.lit(w) for w in spec.OCR_VOCAB])
-    return F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(spec.OCR_WORDS)),
-            lambda j: F.element_at(vocab, _hexpos(F.substring(h, j, 1))),
+    return let(
+        F.md5(media_ref),
+        lambda h: F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(spec.OCR_WORDS)),
+                lambda j: F.element_at(vocab, _hexpos(F.substring(h, j, 1))),
+            ),
         ),
     )
 

@@ -1,0 +1,66 @@
+"""Skew-aware partitioning (SURVEY.md section 4 "custom Spark work").
+
+The skew strategy has three layers, matching the north rule:
+
+1. **Cost-salted hash partitioning** for the doc-level UDF stages:
+   ``repartition(n, xxhash64(doc_id, salt))`` — expected cost per partition
+   is uniform because the key is a hash; the salt decorrelates consecutive
+   runs. (A global cost-sort would balance better but requires a
+   single-partition sort — not viable at 10^12 docs.)
+2. **Span-level fan-out for the heavy tail** (``restitch.process_spans``):
+   docs whose span count exceeds the threshold are exploded so no single
+   task owns a giant doc; this is what actually bounds the straggler, since
+   hashing cannot split one key.
+3. **Arrow batch bounding** (``spark.sql.execution.arrow.maxRecordsPerBatch``
+   in ``session.py``): one giant doc cannot blow a Python worker's memory.
+
+``partition_cost_stats`` measures the result (max/mean estimated cost per
+partition) — used by tests and the bench to show balance, not just assert it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_cost_col(spans: Column) -> Column:
+    """Estimated parse cost of a doc: total text bytes + a per-media charge
+    (media dominates when OCR fires; mirrors the reference's page-count
+    progress estimate, tasks.py:345-354)."""
+    return F.aggregate(
+        spans,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.length(s["text"])
+        + F.when(s["kind"] == "media", 256).otherwise(0),
+    )
+
+
+def cost_salted_repartition(
+    spans_df: DataFrame, num_partitions: int, salt: int = 0
+) -> DataFrame:
+    """Uniform-in-expectation cost spread for the doc-level stages."""
+    return spans_df.repartition(
+        num_partitions, F.xxhash64(F.col("doc_id"), F.lit(salt))
+    )
+
+
+def partition_cost_stats(spans_df: DataFrame) -> dict:
+    """{'n_partitions', 'max_cost', 'mean_cost', 'balance'} where balance =
+    max/mean (1.0 is perfect)."""
+    per_part = (
+        spans_df.select(doc_cost_col(F.col("spans")).alias("cost"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("cost").alias("cost"))
+    )
+    rows = per_part.collect()
+    costs = [r["cost"] or 0 for r in rows]
+    mean = sum(costs) / max(len(costs), 1)
+    return {
+        "n_partitions": len(costs),
+        "max_cost": max(costs) if costs else 0,
+        "mean_cost": mean,
+        "balance": (max(costs) / mean) if mean else 0.0,
+    }

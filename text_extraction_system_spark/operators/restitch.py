@@ -83,11 +83,15 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
 
 
 def process_spans(
-    spans_df: DataFrame, fanout_threshold: int = DEFAULT_FANOUT_THRESHOLD
+    spans_df: DataFrame, fanout_threshold: int | None = DEFAULT_FANOUT_THRESHOLD
 ) -> DataFrame:
     """Route small docs through the shuffle-free path and giant docs through
-    the fan-out path, then union. ``fanout_threshold <= 0`` forces fanout
-    everywhere (used by tests to prove path equivalence)."""
+    the fan-out path, then union. ``fanout_threshold=None`` disables the
+    fanout branch entirely (fully shuffle-free plan — for corpora known to
+    have no giant docs); ``<= 0`` forces fanout everywhere (used by tests to
+    prove path equivalence)."""
+    if fanout_threshold is None:
+        return process_spans_inline(spans_df)
     if fanout_threshold <= 0:
         return process_spans_fanout(spans_df)
     small = spans_df.where(F.size("spans") <= fanout_threshold)

@@ -1,0 +1,56 @@
+"""Output wire formats (SURVEY.md S9/C9): json / msgpack / protobuf.
+
+The reference encodes the structure DTOs per request into one of three wire
+formats (``tasks.py:458-541``; ``OutputFormat`` dto.py:16-19). Columnar twin:
+the struct column stays native in the table; serialization is an OPTIONAL
+projection —
+
+* json      — ``F.to_json`` (JVM-side, codegen; the default)
+* msgpack   — Arrow-batched ``mapInPandas`` calling ``msgpack.packb``; gated
+  behind an import-try since the lib is not in this container
+* protobuf  — not ported: the reference's own perf tests measured protobuf
+  >2x slower to encode than msgpack at >1.5x the size
+  (``test_data_extract.py:198-244``), and a fixed StructType + to_json/
+  msgpack covers both remaining consumers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # optional dependency
+    import msgpack  # type: ignore
+
+    HAS_MSGPACK = True
+except ImportError:
+    msgpack = None
+    HAS_MSGPACK = False
+
+
+def to_json_column(results: DataFrame, struct_col: str = "structure") -> DataFrame:
+    """Append ``<struct_col>_json`` — stays entirely JVM-side."""
+    return results.withColumn(f"{struct_col}_json", F.to_json(F.col(struct_col)))
+
+
+def to_msgpack_column(results: DataFrame, struct_col: str = "structure") -> DataFrame:
+    """Append ``<struct_col>_msgpack`` (binary) via Arrow batches."""
+    if not HAS_MSGPACK:
+        raise NotImplementedError(
+            "msgpack is not installed in this container; use to_json_column"
+        )
+    import pandas as pd
+
+    out_cols = [f.name for f in results.schema.fields] + [f"{struct_col}_msgpack"]
+    schema = results.schema.add(f"{struct_col}_msgpack", "binary")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf[f"{struct_col}_msgpack"] = [
+                msgpack.packb(v, use_single_float=True) for v in pdf[struct_col]
+            ]
+            yield pdf[out_cols]
+
+    return results.mapInPandas(gen, schema=schema)

@@ -25,7 +25,7 @@ def extract_from_documents(
     docs: DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
-    fanout_threshold: int = restitch.DEFAULT_FANOUT_THRESHOLD,
+    fanout_threshold: int | None = restitch.DEFAULT_FANOUT_THRESHOLD,
     with_structure: bool = True,
 ) -> DataFrame:
     """documents -> extraction results (one row per doc)."""
@@ -37,7 +37,7 @@ def extract_from_documents(
 
 def extract_from_spans(
     spans_df: DataFrame,
-    fanout_threshold: int = restitch.DEFAULT_FANOUT_THRESHOLD,
+    fanout_threshold: int | None = restitch.DEFAULT_FANOUT_THRESHOLD,
     with_structure: bool = True,
 ) -> DataFrame:
     """spans table (input_hint shape) -> extraction results."""

@@ -1,0 +1,96 @@
+"""Structured Streaming twins of the batch pipeline and event operators.
+
+The reference is an async task queue, not a stream processor (SURVEY.md
+section 2.10) — batch is the canonical mode. These jobs exist for the
+continuous-ingest deployment shape: the same extraction transforms bound to
+``readStream``/``writeStream``, with watermarked windowed aggregates for the
+event operators. Tested with file sources + ``Trigger.AvailableNow`` so runs
+are hermetic and deterministic.
+
+Scale notes: the extraction stream is stateless (one row in, one row out), so
+it scales exactly like the batch job. The windowed aggregates keep state
+bounded by the watermark; checkpointing gives exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..operators import layout, restitch
+
+
+def read_spans_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of spans-table parquet drops."""
+    return spark.readStream.schema(schemas.SPANS_INPUT).parquet(input_dir)
+
+
+def extraction_stream(spans_stream: DataFrame) -> DataFrame:
+    """The batch extraction transforms bound to a stream. Only the inline
+    (shuffle-free) strategy is used — a stateless map, safe for streams."""
+    stitched = restitch.process_spans_inline(spans_stream)
+    return layout.assemble(stitched)
+
+
+def run_extraction_stream(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain whatever is available, exactly-once, then stop."""
+    out = extraction_stream(read_spans_stream(spark, input_dir))
+    (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the streaming twin
+    of ``operators.events.tumbling_counts``. Late rows beyond the watermark
+    are dropped; state is bounded."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events_stream.withColumn("ts_tz", ts)
+        .withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint")
+            ).alias("sum_value_micros"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value_micros",
+        )
+    )
+
+
+def run_windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+) -> None:
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    out = windowed_event_counts(stream)
+    (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
