@@ -297,6 +297,26 @@ def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structure_op.section_rows(corpus_synth.heading_docs(_docs(spark, sf_dir)))
 
 
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within SRP buckets (scale path:
+    the bucket join replaces all-pairs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.srp_near_dup_pairs(emb)
+
+
+def _q_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: title detection — first paragraph if <= 80 chars, else ''."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    first = F.filter(F.col("out_spans"), lambda s: s["text"] != "")
+    cand = F.when(F.size(first) > 0, F.element_at(first, 1)["text"]).otherwise("")
+    return res.select(
+        "doc_id",
+        F.when((F.length(cand) > 0) & (F.length(cand) <= 80), cand)
+        .otherwise("")
+        .alias("title"),
+    )
+
+
 def _q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8-I10: table-region detection (pivot-aligned cell clustering with
     multi-cell-column / min-cell / area-share thresholds) over media spans.
@@ -335,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": _q_boilerplate,
         "sections": _q_sections,
         "tables": _q_tables,
+        "emb_near_dup": _q_emb_near_dup,
+        "titles": _q_titles,
     }
 
 
@@ -924,6 +946,34 @@ FROM secs s
 LEFT JOIN secs t ON t.doc_id = s.doc_id AND t.start > s.start AND t.level <= s.level
 GROUP BY s.doc_id, s.start, s.title, s.title_start, s.title_end, s.level
 """
+
+    sql["emb_near_dup"] = f"""
+WITH wb AS (
+  SELECT vec_id AS vid, embedding AS vec,
+         {_bucket.format(v='embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       {_dotp('a.vec', 'b.vec')} / (sqrt({_dotp('a.vec', 'a.vec')}) * sqrt({_dotp('b.vec', 'b.vec')})) AS cosine
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE {_dotp('a.vec', 'b.vec')} / (sqrt({_dotp('a.vec', 'a.vec')}) * sqrt({_dotp('b.vec', 'b.vec')})) >= 0.3
+"""
+
+    sql["titles"] = (
+        _SQL_OUTSPANS_CTE
+        + """
+, firsts AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY doc_id ORDER BY span_offset) AS rn
+  FROM outspans WHERE text != ''
+)
+SELECT d.doc_id,
+       CASE WHEN length(coalesce(f.text, '')) BETWEEN 1 AND 80
+            THEN f.text ELSE '' END AS title
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN firsts f ON d.doc_id = f.doc_id AND f.rn = 1
+"""
+    )
 
     sql["status_counts"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 

@@ -95,6 +95,33 @@ def srp_bucket_col(vec: Column, planes: Column) -> Column:
     return F.array_join(signs, "")
 
 
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to the
+    same SRP bucket (the 10^12-vector shape — all-pairs never materializes),
+    verified with the exact cosine and thresholded."""
+    planes = srp_plane_col(dim, n_planes)
+    wb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = wb.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket")
+    b = wb.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
