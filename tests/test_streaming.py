@@ -64,3 +64,46 @@ def test_windowed_counts_stream(spark, tmp_path):
     assert set(got_rows) <= set(exp_rows)
     for k, v in got_rows.items():
         assert exp_rows[k] == v, k
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emitted by the
+    stream must equal the batch sessionization minus each user's final
+    session (still open in state when the AvailableNow drain ends)."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    (
+        jobs.sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    from text_extraction_system_spark.operators import events as ev_ops
+
+    batch = ev_ops.sessionize(spark.read.parquet(in_dir)).collect()
+    last_start = {}
+    for r in batch:
+        last_start[r["user_id"]] = max(
+            last_start.get(r["user_id"], -1), r["session_start_us"]
+        )
+    closed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in batch
+        if r["session_start_us"] != last_start[r["user_id"]]
+    }
+    assert got == closed

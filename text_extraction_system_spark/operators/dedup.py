@@ -112,6 +112,10 @@ def lsh_candidate_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
     ).where(F.col("bucket_n") <= MAX_BUCKET)
+    # the self-join would otherwise re-execute the whole signature plan for
+    # each branch; at cluster scale you would materialize signatures to a
+    # table instead (same idea, durable)
+    counted = counted.persist()
     a = counted.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = counted.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -130,7 +134,7 @@ def near_dup_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     sets ride along via two hash joins on doc_id.
     """
     pairs = lsh_candidate_pairs(docs, doc_id_col, text_col)
-    sh = doc_shingles(docs, doc_id_col, text_col)
+    sh = doc_shingles(docs, doc_id_col, text_col).persist()
     return (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("shingles", "sh_a"), "doc_a")

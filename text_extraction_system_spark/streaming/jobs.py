@@ -76,6 +76,81 @@ def windowed_event_counts(
     )
 
 
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap_sec: int = 1800, idle_timeout: bool = False
+) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    ``applyInPandasWithState`` (per-user GroupState). A session closes when
+    the gap since its last event exceeds ``gap_sec``; with
+    ``idle_timeout=True`` a processing-time timeout additionally flushes
+    sessions for users that stop sending (continuous deployments ONLY —
+    a pending timeout keeps scheduling micro-batches, so an
+    ``availableNow`` drain would never terminate).
+
+    State is one (start, last, n) triple per user — bounded, no event buffer.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                rows.append((user_id, s, last, n))
+                state.remove()
+        else:
+            us = []
+            for pdf in pdfs:
+                us.extend(int(v) for v in (pdf["ts"].astype("int64") // 1000))
+            us.sort()
+            if state.exists:
+                cur = list(state.get)
+            else:
+                cur = None
+            for t in us:
+                if cur is None:
+                    cur = [t, t, 0]
+                if t - cur[1] > gap_us:
+                    rows.append((user_id, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+            if cur is not None:
+                state.update(tuple(cur))
+                if idle_timeout:
+                    state.setTimeoutDuration(gap_sec * 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+
+    return (
+        events_stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def run_windowed_counts_stream(
     spark: SparkSession,
     input_dir: str,
