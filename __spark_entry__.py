@@ -41,6 +41,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Timestamp queries compare epoch micros against DuckDB's naive-as-UTC
+    epoch_us; pin the session tz in case the driver's session differs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction (derive -> OCR route -> re-stitch ->
     assemble -> structure) on sf0.001; one summary row per document."""
@@ -209,6 +215,7 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (T/streaming analog, batch formulation)."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.sessionize(ev).withColumn(
         "session_seq", F.col("session_seq").cast("bigint")
@@ -224,6 +231,7 @@ def _micros(c) -> F.Column:
 
 def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window aggregate; fixed-point-exact value sums."""
+    _utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.tumbling_counts(ev)
 

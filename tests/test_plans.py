@@ -61,6 +61,30 @@ def test_dimension_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketed tables join with zero shuffles — the co-located-join storage
+    strategy for doc_id-keyed joins at scale."""
+    from text_extraction_system_spark.operators import bucketing
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "cast(doc_id as string) doc_id", "text"
+    )
+    stats = docs.selectExpr("doc_id", "length(text) as n_chars")
+    bucketing.write_bucketed(docs, "bk_docs", num_buckets=4)
+    bucketing.write_bucketed(stats, "bk_stats", num_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketing.bucketed_join(spark, "bk_docs", "bk_stats")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_docs")
+        spark.sql("DROP TABLE IF EXISTS bk_stats")
+
+
 def test_ann_query_side_broadcasts(spark):
     import __spark_entry__ as e
 
