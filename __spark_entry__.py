@@ -22,6 +22,7 @@ from text_extraction_system_spark.core import spec
 from text_extraction_system_spark.operators import derive_spans as ds
 from text_extraction_system_spark.operators import (
     boilerplate,
+    coords,
     corpus_synth,
     dedup,
     events,
@@ -325,6 +326,40 @@ def _q_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ocr_route_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 at the reference's true granularity: per-PAGE OCR decision
+    (page_requires_ocr is per page in pdf/pdf.py:31-33)."""
+    spans = ds.derive_spans(_docs(spark, sf_dir))
+    s = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.floor(F.col("s.offset") / spec.PAGE_SPANS).cast("bigint").alias("page_number"),
+        F.when(F.col("s.kind") == "text", F.length("s.text")).otherwise(0)
+        .cast("bigint").alias("tc"),
+        F.when(F.col("s.kind") == "media", ocr.media_area_col(F.col("s.media_ref")))
+        .otherwise(0).cast("bigint").alias("mc"),
+    )
+    return s.groupBy("doc_id", "page_number").agg(
+        F.sum("tc").alias("text_cover"),
+        F.sum("mc").alias("media_cover"),
+    ).select(
+        "doc_id",
+        "page_number",
+        "text_cover",
+        "media_cover",
+        (F.col("text_cover") < F.lit(spec.OCR_RATIO) * F.col("media_cover")).alias(
+            "page_needs_ocr"
+        ),
+    )
+
+
+def _q_char_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-coordinate map (PDFCoordinates analog, dto.py:168-173): per-doc
+    box counts + coordinate sums over the monospace layout. n_chars==n_boxes
+    IS the reference's len(text)==len(charBBoxes) invariant, oracle-checked."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return coords.char_coord_stats(res)
+
+
 def _q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8-I10: table-region detection (pivot-aligned cell clustering with
     multi-cell-column / min-cell / area-share thresholds) over media spans.
@@ -365,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tables": _q_tables,
         "emb_near_dup": _q_emb_near_dup,
         "titles": _q_titles,
+        "char_coords": _q_char_coords,
+        "ocr_route_pages": _q_ocr_route_pages,
     }
 
 
@@ -980,6 +1017,52 @@ SELECT d.doc_id,
             THEN f.text ELSE '' END AS title
 FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
 LEFT JOIN firsts f ON d.doc_id = f.doc_id AND f.rn = 1
+"""
+    )
+
+    # char-box stats computed ANALYTICALLY from the page text (the Spark side
+    # constructs the actual box arrays) — independent derivations must agree
+    _clean = "length(replace(e, chr(12), ''))"
+    sql["char_coords"] = (
+        _SQL_PAGES_CTE
+        + f""",
+pagestats AS (
+  SELECT doc_id,
+         length(ptext) AS pchars,
+         coalesce(list_sum(list_transform(string_split(ptext, chr(10)),
+           e -> {_clean})), 0) AS printable,
+         coalesce(list_sum(list_transform(string_split(ptext, chr(10)),
+           e -> 4 * {_clean} * ({_clean} - 1))), 0) AS sx,
+         coalesce(list_sum(list_transform(range(len(string_split(ptext, chr(10)))),
+           i -> 16 * i * length(replace((string_split(ptext, chr(10)))[i+1], chr(12), '')))), 0) AS sy
+  FROM pagetext
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(ps.pchars), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(sum(ps.pchars), 0) AS BIGINT) AS n_boxes,
+       CAST(coalesce(sum(ps.pchars - ps.printable), 0) AS BIGINT) AS n_zero,
+       CAST(coalesce(sum(ps.sx), 0) AS BIGINT) AS sum_x,
+       CAST(coalesce(sum(ps.sy), 0) AS BIGINT) AS sum_y
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN pagestats ps ON d.doc_id = ps.doc_id
+GROUP BY d.doc_id
+"""
+    )
+
+    sql["ocr_route_pages"] = (
+        _SQL_SPANS_CTE
+        + f"""
+SELECT doc_id,
+       CAST(span_offset // {spec.PAGE_SPANS} AS BIGINT) AS page_number,
+       CAST(sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END) AS BIGINT) AS text_cover,
+       CAST(sum(CASE WHEN kind = 'media'
+           THEN strpos('{_HEX}', substr(md5(media_ref), 1, 1)) * {spec.MEDIA_AREA_UNIT}
+           ELSE 0 END) AS BIGINT) AS media_cover,
+       sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END)
+         < {spec.OCR_RATIO} * sum(CASE WHEN kind = 'media'
+           THEN strpos('{_HEX}', substr(md5(media_ref), 1, 1)) * {spec.MEDIA_AREA_UNIT}
+           ELSE 0 END) AS page_needs_ocr
+FROM spans GROUP BY doc_id, span_offset // {spec.PAGE_SPANS}
 """
     )
 
