@@ -133,6 +133,14 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (letter/digit runs + punct marks)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: deterministic stopword language ID on raw document text."""
     return _docs(spark, sf_dir).select(
@@ -377,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages": _q_pages,
         "paragraphs": _q_paragraphs,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
@@ -604,6 +613,12 @@ JOIN pagebounds pb ON c.doc_id = pb.doc_id AND c.page_number = pb.page_number
     sql["token_count"] = (
         f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens "
         "FROM documents"
+    )
+
+    sql["token_count_bpe"] = (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_REGEX}')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
     )
 
     sql["lang_id"] = (

@@ -104,3 +104,18 @@ def test_giant_skew_fanout(archetype_results, archetype_oracle):
     exp = archetype_oracle["giant_0"]
     assert len(got["out_spans"]) == 2000
     assert got["plain_text"] == exp.plain_text
+
+
+def test_language_override(spark):
+    """Reference two_langs semantics: forcing the doc language makes every
+    segment report it (test_data_extract.py:44-57)."""
+    from text_extraction_system_spark.operators import structure as structure_op
+    from text_extraction_system_spark.operators import layout, restitch
+
+    df = synth.corpus_df(spark).where("doc_id = 'twolangs_0'")
+    assembled = layout.assemble(restitch.process_spans(df))
+    res = structure_op.with_structure(assembled, force_language="de").collect()[0]
+    st = res["structure"]
+    assert st["language"] == "de"
+    assert all(p["language"] == "de" for p in st["paragraphs"])
+    assert all(s["language"] == "de" for s in st["sentences"])

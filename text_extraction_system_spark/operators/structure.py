@@ -23,32 +23,51 @@ from .. import schemas
 from ..core import langid, textseg
 
 
-def _structure_of(text: str) -> dict:
+def _structure_of(text: str, force_language: str | None = None) -> dict:
+    """``force_language`` mirrors the reference's per-request doc_language
+    override: every segment reports the forced language
+    (two_langs fixture semantics, test_data_extract.py:44-57)."""
+    def lang(seg: str) -> str:
+        return force_language or langid.detect_language(seg)
+
     paragraphs = [
-        {"start": s, "end": e, "language": langid.detect_language(text[s:e])}
+        {"start": s, "end": e, "language": lang(text[s:e])}
         for s, e in textseg.paragraph_spans(text)
     ]
     sentences = [
-        {"start": s, "end": e, "language": langid.detect_language(text[s:e])}
+        {"start": s, "end": e, "language": lang(text[s:e])}
         for s, e in textseg.sentence_spans(text)
     ]
     return {
         "title": textseg.detect_title(text),
-        "language": langid.detect_language(text),
+        "language": lang(text),
         "paragraphs": paragraphs,
         "sentences": sentences,
         "sections": textseg.detect_sections(text),
     }
 
 
-@pandas_udf(schemas.STRUCTURE)
-def segment_structure(texts: pd.Series) -> pd.DataFrame:
-    rows = [_structure_of(t if t is not None else "") for t in texts]
-    return pd.DataFrame(rows)
+def make_segment_structure(force_language: str | None = None):
+    @pandas_udf(schemas.STRUCTURE)
+    def segment_structure(texts: pd.Series) -> pd.DataFrame:
+        rows = [
+            _structure_of(t if t is not None else "", force_language) for t in texts
+        ]
+        return pd.DataFrame(rows)
+
+    return segment_structure
 
 
-def with_structure(assembled: DataFrame, text_col: str = "plain_text") -> DataFrame:
-    return assembled.withColumn("structure", segment_structure(F.col(text_col)))
+segment_structure = make_segment_structure()
+
+
+def with_structure(
+    assembled: DataFrame,
+    text_col: str = "plain_text",
+    force_language: str | None = None,
+) -> DataFrame:
+    udf = segment_structure if force_language is None else make_segment_structure(force_language)
+    return assembled.withColumn("structure", udf(F.col(text_col)))
 
 
 _PARAGRAPH_ROWS_SCHEMA = (

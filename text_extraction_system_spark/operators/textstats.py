@@ -29,6 +29,18 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("bigint")
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Subword-style token count (letter runs / digit runs / punct marks) —
+    the cheap proxy for BPE token budgeting in training-data pipelines."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), F.lit(0))).cast(
+        "bigint"
+    )
+
+
 def _stopword_hits(tokens: Column, lang: str) -> Column:
     sw = F.array(*[F.lit(w) for w in spec.LANG_STOPWORDS[lang]])
     return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
