@@ -69,7 +69,35 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    pipeline_sec = timings.get("extract_restitch", total)
+
+    # throughput on a replicated corpus: at sf0.1 the raw table is 5k docs,
+    # so a single-query timing is all fixed cost; replicate with distinct
+    # doc_ids and measure the full pipeline warm, min-of-2
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark import pipeline as pl
+
+    rep = 64
+    big_path = "/tmp/bench_corpus"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .select(F.concat_ws("_", "doc_id", "rep").alias("doc_id"), "text")
+        .repartition(cpus * 4)
+        .write.mode("overwrite")
+        .parquet(big_path)
+    )
+    big = spark.read.parquet(big_path)
+    n_big = big.count()
+    big_bytes = n_big / n_docs * doc_bytes
+    res = pl.extract_from_documents(big)
+    res.write.format("noop").mode("overwrite").save()
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        res.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -77,8 +105,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec > 0 else None,
-        "mb_per_sec": round(doc_bytes / 1e6 / pipeline_sec, 2) if pipeline_sec > 0 else None,
+        "pipeline_n_docs": n_big,
+        "pipeline_sec": round(best, 2),
+        "docs_per_sec": round(n_big / best, 1),
+        "mb_per_sec": round(big_bytes / 1e6 / best, 2),
         "cpus": cpus,
     }
     spark.stop()
