@@ -434,6 +434,7 @@ def _sql_lang(text: str) -> str:
     toks = _sql_tokens(text)
     h = {lang: _sql_sw_hits(toks, lang) for lang in spec.LANG_PRIORITY}
     return f"""CASE
+      WHEN regexp_matches({text}, '{spec.CJK_REGEX}') THEN 'zh'
       WHEN {h['de']} > {h['en']} AND {h['de']} >= {h['es']} AND {h['de']} >= {h['fr']} THEN 'de'
       WHEN {h['es']} > {h['en']} AND {h['es']} > {h['de']} AND {h['es']} >= {h['fr']} THEN 'es'
       WHEN {h['fr']} > {h['en']} AND {h['fr']} > {h['de']} AND {h['fr']} > {h['es']} THEN 'fr'

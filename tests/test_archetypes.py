@@ -87,7 +87,7 @@ def test_structured_counts(archetype_results):
 
 
 def test_lang_samples(archetype_results):
-    for lang in ("en", "de", "es", "fr"):
+    for lang in ("en", "de", "es", "fr", "zh"):
         assert archetype_results[f"lang_{lang}"]["structure"]["language"] == lang
 
 

@@ -11,6 +11,8 @@ language with the most hits wins; ties (and zero hits) resolve by
 
 from __future__ import annotations
 
+import re
+
 from . import spec
 
 #: token -> languages whose stopword list contains it (built once; the UDF
@@ -22,7 +24,12 @@ for _lang in spec.LANG_PRIORITY:
         _TOKEN_LANGS[_w] = _TOKEN_LANGS.get(_w, ()) + (_lang,)
 
 
+_CJK_RE = re.compile(spec.CJK_REGEX)
+
+
 def detect_language(text: str) -> str:
+    if _CJK_RE.search(text):
+        return "zh"
     # str.split() == squash-\s+-then-split-and-drop-empties, at C speed
     hits = dict.fromkeys(spec.LANG_PRIORITY, 0)
     for t in text.lower().split():

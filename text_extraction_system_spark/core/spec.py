@@ -96,6 +96,10 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 #: language priority for deterministic tie-breaks (first wins)
 LANG_PRIORITY = ("en", "de", "es", "fr")
 DEFAULT_LANG = "en"
+#: any char in the CJK unified block short-circuits detection to 'zh'
+#: (stopword lists don't apply to unsegmented text); literal-range character
+#: class is portable between Java regex and RE2
+CJK_REGEX = "[一-鿿]"
 
 # ---------------------------------------------------------------------------
 # Document fingerprint (rolling polynomial hash over tokens)

@@ -52,7 +52,8 @@ def detect_language_col(text: Column) -> Column:
     toks = tokens_col(text)
     h = {lang: _stopword_hits(toks, lang) for lang in spec.LANG_PRIORITY}
     return (
-        F.when((h["de"] > h["en"]) & (h["de"] >= h["es"]) & (h["de"] >= h["fr"]), "de")
+        F.when(F.regexp_count(text, F.lit(spec.CJK_REGEX)) > 0, "zh")
+        .when((h["de"] > h["en"]) & (h["de"] >= h["es"]) & (h["de"] >= h["fr"]), "de")
         .when((h["es"] > h["en"]) & (h["es"] > h["de"]) & (h["es"] >= h["fr"]), "es")
         .when((h["fr"] > h["en"]) & (h["fr"] > h["de"]) & (h["fr"] > h["es"]), "fr")
         .otherwise("en")

@@ -44,6 +44,7 @@ _LANG_SENTENCES = {
     "de": "der hund und die katze sind nicht mit der maus",
     "es": "el perro y la casa de los gatos por la noche",
     "fr": "le chien et la maison dans les champs pour un jour",
+    "zh": "这是一个中文文档 的示例",
 }
 
 
