@@ -849,21 +849,21 @@ FROM s GROUP BY user_id, session_seq
     sql["tumbling"] = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
        count(*) AS n,
-       sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_value_micros
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events GROUP BY 1, 2
 """
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS sum_qty_micros,
-       sum(CAST(floor(l_extendedprice * 1000000.0) AS BIGINT)) AS sum_base_price_micros,
-       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) AS sum_disc_price_micros
+       CAST(sum(CAST(floor(l_quantity * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_qty_micros,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_base_price_micros,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_disc_price_micros
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
     sql["nation_revenue"] = """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS revenue_micros
+       CAST(sum(CAST(floor(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS revenue_micros
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -872,7 +872,7 @@ GROUP BY n_name
 
     sql["supplier_region"] = """
 SELECT r_name, count(*) AS n_suppliers,
-       sum(CAST(floor(s_acctbal * 1000000.0) AS BIGINT)) AS sum_acctbal_micros
+       CAST(sum(CAST(floor(s_acctbal * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_acctbal_micros
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
