@@ -106,6 +106,50 @@ def test_giant_skew_fanout(archetype_results, archetype_oracle):
     assert got["plain_text"] == exp.plain_text
 
 
+def test_giant_doc_assembly_is_linear(spark):
+    """10^5-span doc assembles in bounded time — pins the F.slice page
+    assembly (layout.page_texts_col). The previous per-page filter was
+    O(n_pages x n_spans): ~2.5e9 comparisons for this doc (minutes); the
+    slice-based assembly is O(n_spans) and finishes in seconds."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.core import spec
+    from text_extraction_system_spark.operators import layout, restitch
+
+    n = 100_000
+    df = spark.range(1).select(
+        F.lit("giantperf").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("w"), i.cast("string")).alias("text"),
+                F.lit("").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    t0 = time.monotonic()
+    row = layout.assemble(restitch.process_spans(df, fanout_threshold=None)).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert len(row["pages"]) == n // spec.PAGE_SPANS
+    assert row["pages"][-1]["end"] == len(row["plain_text"])
+    assert elapsed < 60, f"giant-doc assembly took {elapsed:.1f}s — quadratic regression?"
+
+
+def test_fanout_keeps_empty_docs(spark):
+    """Forced-fanout path must not drop zero-span docs (explode eliminates
+    the row unless they are carried through explicitly)."""
+    df = synth.corpus_df(spark)
+    res = pipeline.extract_from_spans(df, fanout_threshold=0)
+    rows = {r["doc_id"]: r for r in res.collect()}
+    assert rows["empty_0"]["out_spans"] == []
+    assert rows["empty_0"]["plain_text"] == ""
+    assert len(rows) == df.count()
+
+
 def test_language_override(spark):
     """Reference two_langs semantics: forcing the doc language makes every
     segment report it (test_data_extract.py:44-57)."""

@@ -71,7 +71,11 @@ def test_inline_equals_fanout(spark, docs_df, oracle_results):
     res = pipeline.extract_from_documents(
         docs_df.limit(50), fanout_threshold=0, with_structure=False
     )
-    for r in res.collect():
+    rows = res.collect()
+    # fanout must not silently drop docs (e.g. zero-span docs eliminated
+    # by explode): every input doc comes back.
+    assert len(rows) == docs_df.limit(50).count()
+    for r in rows:
         exp = oracle_results[r["doc_id"]]
         got_spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["out_spans"]]
         exp_spans = [(s.kind, s.text, s.media_ref, s.offset) for s in exp.out_spans]

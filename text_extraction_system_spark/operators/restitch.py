@@ -60,7 +60,12 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
         ocr.parse_failures_col(F.col("spans")).alias("parse_failures"),
         "spans",
     )
-    exploded = decided.select(
+    # explode drops zero-span docs; carry them through explicitly so the two
+    # physical strategies agree on empty docs (out_spans = empty array).
+    empty = decided.where(F.size("spans") == 0).select(
+        "doc_id", "needs_ocr", "parse_failures", F.col("spans").alias("out_spans")
+    )
+    exploded = decided.where(F.size("spans") > 0).select(
         "doc_id", "needs_ocr", "parse_failures", F.explode("spans").alias("s")
     )
     mapped = exploded.select(
@@ -79,7 +84,7 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
         "needs_ocr",
         "parse_failures",
         F.transform(F.col("keyed"), lambda k: k["s"]).alias("out_spans"),
-    )
+    ).unionByName(empty)
 
 
 def process_spans(
