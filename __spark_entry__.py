@@ -33,6 +33,7 @@ from text_extraction_system_spark.operators import (
     similarity,
     textstats,
 )
+from text_extraction_system_spark.operators import deskew_op
 from text_extraction_system_spark.operators import structure as structure_op
 
 _HEX = "0123456789abcdef"
@@ -360,6 +361,15 @@ def _q_ocr_route_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_deskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A4/W7: full deskew composition (glyph-angle histogram -> cluster ->
+    weighted 10%-trimmed mean -> half-up snap, with reading-direction trend
+    fallback) over a deterministic synthetic glyph table; grouped Arrow
+    applyInPandas around core.deskew.detect_page_rotation.
+    Reference: PDFToTextWithCoordinates.java:372-451, rotation_detection.py:165-230."""
+    return deskew_op.deskew_query(spark, sf_dir)
+
+
 def _q_char_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-coordinate map (PDFCoordinates analog, dto.py:168-173): per-doc
     box counts + coordinate sums over the monospace layout. n_chars==n_boxes
@@ -411,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "titles": _q_titles,
         "char_coords": _q_char_coords,
         "ocr_route_pages": _q_ocr_route_pages,
+        "deskew": _q_deskew,
     }
 
 
@@ -909,6 +920,119 @@ SELECT doc_id, span_offset, media_ref, raw_angle, detected_angle,
 FROM snapped
 """
     )
+
+    # Deskew composition twin. Float discipline (see operators/deskew_op.py):
+    # integer angles + power-of-two member weight totals keep every
+    # intermediate exact except the final sum of value*clipped-share products,
+    # which both engines evaluate as a left fold (numpy sequential for n<8,
+    # list_reduce here). All double literals use e0 notation so DuckDB does
+    # not type them DECIMAL.
+    _dk = deskew_op
+    sql["deskew"] = f"""
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), par AS (
+  SELECT doc_id, h,
+    (strpos('{_HEX}', substr(h, 1, 1)) <= 2) AS is_trend,
+    ((strpos('{_HEX}', substr(h, 2, 1)) - 1) % 4) * 90 AS base,
+    strpos('{_HEX}', substr(h, 3, 1)) - 8 AS skew,
+    1 + (strpos('{_HEX}', substr(h, 4, 1)) - 1) % 8 AS cm2,
+    1 + (strpos('{_HEX}', substr(h, 5, 1)) - 1) % 8 AS cm1,
+    1 + (strpos('{_HEX}', substr(h, 6, 1)) - 1) % 8 AS c0,
+    1 + (strpos('{_HEX}', substr(h, 7, 1)) - 1) % 8 AS c1,
+    32 * (1 + (strpos('{_HEX}', substr(h, 9, 1)) - 1) % 2) AS tot,
+    (strpos('{_HEX}', substr(h, 8, 1)) - 1) % 4 AS cdecoy,
+    (strpos('{_HEX}', substr(h, 2, 1)) - 1) % 4 AS dmode
+  FROM p
+), bins AS (
+  SELECT doc_id, a, c FROM (
+    SELECT doc_id, base + skew + x.d AS a,
+           CASE x.d WHEN -2 THEN cm2 WHEN -1 THEN cm1 WHEN 0 THEN c0
+                    WHEN 1 THEN c1 ELSE tot - (cm2 + cm1 + c0 + c1) END AS c
+    FROM par, (VALUES (-2), (-1), (0), (1), (2)) x(d) WHERE NOT is_trend
+    UNION ALL
+    SELECT doc_id, base + skew + 20, cdecoy FROM par WHERE NOT is_trend
+  ) WHERE c > 0
+), seq AS (
+  SELECT doc_id, a, c,
+    CASE WHEN a - lag(a) OVER (PARTITION BY doc_id ORDER BY a)
+              < {_dk.deskew.MERGE_WITHIN_DEG}e0 THEN 0 ELSE 1 END AS brk
+  FROM bins
+), clu AS (
+  SELECT doc_id, a, c, sum(brk) OVER (PARTITION BY doc_id ORDER BY a) AS cid
+  FROM seq
+), clusters AS (
+  SELECT doc_id, cid,
+         CAST(sum(a * c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep,
+         sum(c) AS cnt
+  FROM clu GROUP BY doc_id, cid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, rep) AS rk,
+         count(*) OVER (PARTITION BY doc_id) AS ncl
+  FROM clusters
+), dom AS (
+  SELECT doc_id, rep AS dom_rep, cnt AS top_count, ncl FROM ranked WHERE rk = 1
+), mem AS (
+  SELECT b.doc_id, b.a,
+    CAST(sum(b.c) OVER (PARTITION BY b.doc_id) AS DOUBLE) AS wtot,
+    CAST(sum(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.a) AS DOUBLE) AS cumw,
+    CAST(coalesce(sum(b.c) OVER (PARTITION BY b.doc_id ORDER BY b.a
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) AS low
+  FROM bins b JOIN dom d ON b.doc_id = d.doc_id
+  WHERE abs(b.a - d.dom_rep) <= {2 * _dk.deskew.MERGE_WITHIN_DEG}e0
+), est AS (
+  SELECT doc_id,
+    list_reduce(
+      list(CAST(a AS DOUBLE)
+           * greatest(least(cumw / wtot, 1.0e0 - {_dk.deskew.TRIM_QUANTILE}e0)
+                      - greatest(low / wtot, {_dk.deskew.TRIM_QUANTILE}e0), 0.0e0)
+           ORDER BY a),
+      (x, y) -> x + y) / (1.0e0 - 2.0e0 * {_dk.deskew.TRIM_QUANTILE}e0) AS est
+  FROM mem GROUP BY doc_id
+), n2 AS (
+  SELECT doc_id,
+    CASE WHEN m >= 180.0e0 THEN m - 360.0e0 ELSE m END AS norm
+  FROM (SELECT doc_id,
+          CASE WHEN est < 0.0e0 THEN est + 360.0e0 ELSE est END AS m FROM est)
+), n3 AS (
+  SELECT doc_id, norm, 90.0e0 * floor(norm / 90.0e0 + 0.5e0) AS rot0 FROM n2
+), gout AS (
+  SELECT n3.doc_id,
+    CAST(CASE WHEN rot0 = 180.0e0 THEN -180 ELSE CAST(rot0 AS INT) END AS INT)
+      AS rotation,
+    CAST(floor((norm - rot0) * 1000.0e0 + 0.5e0) AS BIGINT) AS skew_milli,
+    CAST(d.ncl AS INT) AS n_clusters,
+    CAST(d.top_count AS INT) AS top_count
+  FROM n3 JOIN dom d ON n3.doc_id = d.doc_id
+), sh AS (
+  SELECT doc_id,
+    CASE dmode WHEN 0 THEN hv WHEN 1 THEN -hv ELSE 0 END AS dx,
+    CASE dmode WHEN 2 THEN hv WHEN 3 THEN -hv ELSE 0 END AS dy
+  FROM (
+    SELECT doc_id, dmode,
+      strpos('{_HEX}', substr(h, (t.i * 7) % 32 + 1, 1)) - 8 AS hv
+    FROM par, generate_series(1, {_dk.TREND_SHIFTS}) t(i) WHERE is_trend
+  )
+), tr AS (
+  SELECT doc_id,
+    sum(CASE WHEN dx > 0 THEN 1 ELSE 0 END) AS r,
+    sum(CASE WHEN dx < 0 THEN 1 ELSE 0 END) AS l,
+    sum(CASE WHEN dy > 0 THEN 1 ELSE 0 END) AS dn,
+    sum(CASE WHEN dy < 0 THEN 1 ELSE 0 END) AS up
+  FROM sh GROUP BY doc_id
+), tout AS (
+  SELECT doc_id,
+    CAST(CASE WHEN r + l >= dn + up THEN (CASE WHEN r >= l THEN 0 ELSE -180 END)
+              ELSE (CASE WHEN dn >= up THEN 90 ELSE -90 END) END AS INT)
+      AS rotation,
+    CAST(0 AS BIGINT) AS skew_milli,
+    CAST(0 AS INT) AS n_clusters,
+    CAST(0 AS INT) AS top_count
+  FROM tr
+)
+SELECT * FROM gout UNION ALL SELECT * FROM tout
+"""
 
     sql["media_decode"] = (
         _SQL_SPANS_CTE

@@ -48,6 +48,27 @@ def test_norm_angle_and_snap():
     assert angles.snap_rotation(359) == -1
 
 
+def test_half_up_at_exact_45_boundaries():
+    """Pins the rounding convention at odd multiples of 45 where Python
+    banker's round() and the SQL twins' HALF_UP diverge: all twins use
+    floor(x/90 + 0.5) (ties toward +inf)."""
+    assert angles.half_up_right_angles(45.0) == 1      # banker's would give 0
+    assert angles.half_up_right_angles(135.0) == 2     # banker's would give 2 too
+    assert angles.half_up_right_angles(-45.0) == 0
+    assert angles.half_up_right_angles(-135.0) == -1
+    # snap output is convention-independent at those points (both neighbor
+    # right angles are 45 away > threshold -> rejected)
+    assert angles.snap_rotation(135.0) == 0.0
+    assert angles.snap_rotation(-135.0) == 0.0
+    # detect_page_rotation at a pure 45-degree page: half-up picks 90
+    import numpy as np
+
+    from text_extraction_system_spark.core import deskew
+
+    res = deskew.detect_page_rotation(np.full(100, 45.0))
+    assert res["rotation"] == 90.0 and res["skew"] == -45.0
+
+
 def test_cluster_angles():
     clusters = angles.cluster_angles({0.0: 100, 1.0: 50, 90.0: 30, 91.5: 10})
     assert len(clusters) == 2

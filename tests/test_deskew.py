@@ -69,3 +69,33 @@ def test_trend_fallback():
 def test_trend_left_to_right_is_upright():
     res = deskew.detect_page_rotation(np.array([]), dx=np.ones(100), dy=np.zeros(100))
     assert res["rotation"] == 0.0
+
+
+def test_deskew_operator_matches_core(spark):
+    """The distributed operator (synthetic glyph table -> grouped Arrow UDF)
+    agrees with a driver-side rerun of core.deskew on the same glyph rows."""
+    import pandas as pd
+
+    from text_extraction_system_spark.operators import deskew_op
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [str(i) for i in range(40)]})
+    )
+    glyphs = deskew_op.synth_glyphs(docs).toPandas()
+    got = {
+        r["doc_id"]: r
+        for r in deskew_op.deskew_pages(deskew_op.synth_glyphs(docs)).collect()
+    }
+    assert len(got) == 40
+    import math
+
+    for doc_id, grp in glyphs.groupby("doc_id"):
+        exp = deskew.detect_page_rotation(
+            grp["angle"].dropna().to_numpy(dtype=np.float64),
+            grp["dx"].dropna().to_numpy(dtype=np.float64),
+            grp["dy"].dropna().to_numpy(dtype=np.float64),
+        )
+        row = got[doc_id]
+        assert row["rotation"] == int(exp["rotation"]), doc_id
+        assert row["skew_milli"] == int(math.floor(exp["skew"] * 1000.0 + 0.5)), doc_id
+        assert row["n_clusters"] == len(exp["clusters"]), doc_id

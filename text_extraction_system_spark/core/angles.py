@@ -22,7 +22,18 @@ and the SQL oracle twins.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+
+def half_up_right_angles(a: float) -> float:
+    """Number of right angles nearest to ``a/90``, ties toward +inf
+    (``floor(x + 0.5)``). Python's ``round`` is banker's rounding, which
+    diverges from the SQL twins at exact odd multiples of 45 — all three
+    implementations (python core, Spark columns, DuckDB oracle) share this
+    half-up convention instead."""
+    return math.floor(a / 90.0 + 0.5)
 
 
 def norm_angle(angle_degrees: float) -> float:
@@ -45,7 +56,7 @@ def snap_rotation(angle: float, max_diff_from_closest_90: float = 10.0) -> float
     """Reject a detected angle that is further than the threshold from every
     multiple of 90 (the detector 'went crazy'); otherwise keep it."""
     a = norm_angle(angle)
-    if abs(a - 90.0 * round(a / 90.0)) > max_diff_from_closest_90:
+    if abs(a - 90.0 * half_up_right_angles(a)) > max_diff_from_closest_90:
         return 0.0
     return a
 

@@ -91,7 +91,7 @@ def detect_page_rotation(
             (a, c) for a, c in hist.items() if abs(a - dominant) <= MERGE_WITHIN_DEG * 2
         ]
         est = cluster_skew(members)
-        rotation = 90.0 * round(angles.norm_angle(est) / 90.0)
+        rotation = 90.0 * angles.half_up_right_angles(angles.norm_angle(est))
         skew = angles.normalize_angle_90(angles.norm_angle(est) - rotation)
     if rotation == 0.0 and skew == 0.0 and dx is not None and dy is not None:
         t = trend_rotation(dx, dy)
