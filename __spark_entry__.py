@@ -807,30 +807,45 @@ ranked AS (
 SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
-    # SRP plane component p,j = hexval(md5(p':'j)[0]) - 7.5  (deterministic)
-    _plane_dot = (
+    # SRP plane component p,j = hexval(md5(p':'j)[0]) - 7.5  (deterministic);
+    # banded LSH: band b's bucket = sign bits of planes b*PPB .. b*PPB+PPB-1
+    _ppb = similarity.PLANES_PER_BAND
+    _nbands = similarity.N_BANDS
+    _band_plane_dot = (
         "list_reduce(list_prepend(0.0, list_transform(range(64), "
-        "j -> {v}[j+1]::DOUBLE * "
-        "(strpos('0123456789abcdef', substr(md5(p || ':' || j), 1, 1)) - 1 - 7.5))), "
+        "k -> {v}[k+1]::DOUBLE * "
+        f"(strpos('0123456789abcdef', substr(md5((b * {_ppb} + j) || ':' || k), 1, 1))"
+        " - 1 - 7.5))), "
         "(x, y) -> x + y)"
     )
-    _bucket = (
-        "array_to_string(list_transform(range(4), p -> CASE WHEN "
-        + _plane_dot
+    _band_bucket = (
+        f"array_to_string(list_transform(range({_ppb}), j -> CASE WHEN "
+        + _band_plane_dot
         + " >= 0 THEN '1' ELSE '0' END), '')"
     )
-    sql["ann_lsh_topk"] = f"""
-WITH wb AS (
-  SELECT vec_id AS vid, embedding AS vec,
-         {_bucket.format(v='embedding')} AS bucket
-  FROM embeddings
+    _kept_cte = f"""
+WITH bb AS (
+  SELECT vec_id AS vid, embedding AS vec, tt.b AS band,
+         {_band_bucket.format(v='embedding')} AS bucket
+  FROM embeddings, unnest(range({_nbands})) AS tt(b)
 ),
-q AS (SELECT vid AS query_id, vec AS qv, bucket FROM wb WHERE vid < 20),
-c AS (SELECT vid AS cand_id, vec AS cv, bucket FROM wb),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bucket_n FROM bb
+),
+kept AS (SELECT * FROM counted WHERE bucket_n <= {similarity.MAX_BUCKET})"""
+
+    sql["ann_lsh_topk"] = f"""{_kept_cte},
+q AS (SELECT vid AS query_id, vec AS qv, band, bucket FROM kept WHERE vid < 20),
+c AS (SELECT vid AS cand_id, vec AS cv, band, bucket FROM kept),
+pairs AS (
+  SELECT DISTINCT q.query_id, q.qv, c.cand_id, c.cv
+  FROM c JOIN q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE c.cand_id != q.query_id
+),
 scored AS (
-  SELECT q.query_id, c.cand_id,
-         {_dotp('q.qv', 'c.cv')} / (sqrt({_dotp('q.qv', 'q.qv')}) * sqrt({_dotp('c.cv', 'c.cv')})) AS cosine
-  FROM c JOIN q ON c.bucket = q.bucket AND c.cand_id != q.query_id
+  SELECT query_id, cand_id,
+         {_dotp('qv', 'cv')} / (sqrt({_dotp('qv', 'qv')}) * sqrt({_dotp('cv', 'cv')})) AS cosine
+  FROM pairs
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
@@ -1132,16 +1147,16 @@ LEFT JOIN secs t ON t.doc_id = s.doc_id AND t.start > s.start AND t.level <= s.l
 GROUP BY s.doc_id, s.start, s.title, s.title_start, s.title_end, s.level
 """
 
-    sql["emb_near_dup"] = f"""
-WITH wb AS (
-  SELECT vec_id AS vid, embedding AS vec,
-         {_bucket.format(v='embedding')} AS bucket
-  FROM embeddings
+    sql["emb_near_dup"] = f"""{_kept_cte},
+pairs AS (
+  SELECT DISTINCT a.vid AS id_a, a.vec AS va, c.vid AS id_b, c.vec AS vb
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bucket = c.bucket
+  WHERE a.vid < c.vid
 )
-SELECT a.vid AS id_a, b.vid AS id_b,
-       {_dotp('a.vec', 'b.vec')} / (sqrt({_dotp('a.vec', 'a.vec')}) * sqrt({_dotp('b.vec', 'b.vec')})) AS cosine
-FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vid < b.vid
-WHERE {_dotp('a.vec', 'b.vec')} / (sqrt({_dotp('a.vec', 'a.vec')}) * sqrt({_dotp('b.vec', 'b.vec')})) >= 0.3
+SELECT id_a, id_b,
+       {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) AS cosine
+FROM pairs
+WHERE {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) >= 0.3
 """
 
     sql["titles"] = (

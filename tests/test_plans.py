@@ -90,3 +90,35 @@ def test_ann_query_side_broadcasts(spark):
 
     plan = _plan(e.queries()["ann_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_srp_bucket_space_and_skew_guard(spark):
+    """Scale posture of the banded SRP LSH: with 16 planes per band the
+    per-band bucket space is 2^16 (not the round-1 flat 16-bucket table),
+    and after the MAX_BUCKET guard no (band, bucket) key exceeds the cap —
+    the properties that bound the self-join at 10^9+ vectors."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bb = similarity.srp_banded_buckets(emb, n_bands=2, planes_per_band=16)
+    rows = bb.groupBy("band", "bucket").count().collect()
+    assert all(len(r["bucket"]) == 16 for r in rows)  # 2^16-wide key space
+    assert all(r["count"] <= similarity.MAX_BUCKET for r in rows)
+    # defaults are banded too, with the same guarantee
+    bb_def = similarity.srp_banded_buckets(emb)
+    counts = bb_def.groupBy("band", "bucket").count()
+    assert counts.agg(F.max("count")).collect()[0][0] <= similarity.MAX_BUCKET
+    assert similarity.N_BANDS * similarity.PLANES_PER_BAND >= 16
+
+
+def test_srp_candidates_subset_of_all_pairs_and_verified(spark):
+    """Banded candidates feed an exact-cosine verify: every emitted pair
+    meets the threshold, and a pair colliding in several bands appears once."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = similarity.srp_near_dup_pairs(emb, threshold=0.3).collect()
+    seen = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(seen) == len(pairs)  # no duplicate pairs from the band union
+    assert all(r["cosine"] >= 0.3 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)

@@ -73,6 +73,23 @@ def brute_force_topk(
     )
 
 
+#: SRP LSH banding defaults: N_BANDS x PLANES_PER_BAND hyperplanes total.
+#: A single flat table of few planes (the round-1 shape: 4 planes -> 16
+#: buckets) is O(n^2/16) at 10^9+ rows with 16-way key skew; banding keeps
+#: each band's bucket space 2^PLANES_PER_BAND wide (raise PLANES_PER_BAND at
+#: scale — 16 planes/band gives 65536 buckets/band) while the band union
+#: preserves recall for genuinely similar pairs (a cosine-0.9 pair collides
+#: in an 8-plane band w.p. ~0.29, in >=1 of 4 bands w.p. ~0.75 — better than
+#: the flat 4-plane table's 0.54, with ~16x smaller buckets).
+N_BANDS = 4
+PLANES_PER_BAND = 8
+
+#: (band, bucket) keys holding more than this many vectors are dropped as
+#: degenerate (e.g. zero-ish embeddings all hashing together) — mirrors
+#: dedup.MAX_BUCKET; a bucket of b vectors costs b^2 join rows
+MAX_BUCKET = 64
+
+
 def srp_plane_col(dim: int, n_planes: int) -> Column:
     """Deterministic hyperplanes: plane p component j =
     hexval(md5(p || ':' || j)[0]) - 7.5 (zero-mean, reproducible anywhere)."""
@@ -95,28 +112,96 @@ def srp_bucket_col(vec: Column, planes: Column) -> Column:
     return F.array_join(signs, "")
 
 
-def srp_near_dup_pairs(
+def srp_band_buckets_col(
+    vec: Column, n_bands: int = N_BANDS, planes_per_band: int = PLANES_PER_BAND,
+    dim: int = 64,
+) -> Column:
+    """array<struct<band:int, bucket:string>>: per band, the sign bits of
+    that band's planes (global plane index band*planes_per_band + j)."""
+    planes = srp_plane_col(dim, n_bands * planes_per_band)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            srp_bucket_col(
+                vec, F.slice(planes, b * planes_per_band + 1, planes_per_band)
+            ).alias("bucket"),
+        ),
+    )
+
+
+def srp_banded_buckets(
     embeddings: DataFrame,
-    threshold: float = 0.3,
-    n_planes: int = 4,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(vid, band, bucket[, vec]) rows, degenerate buckets dropped
+    (MAX_BUCKET).
+
+    The bucket signature is a narrow per-row expression; at 10^12 rows this
+    is the table you would materialize once and bucket-partition by
+    (band, bucket)."""
+    cols = [F.col(id_col).alias("vid")]
+    if keep_vec:
+        cols.append(F.col(vec_col).alias("vec"))
+    exploded = embeddings.select(
+        *cols,
+        F.explode(
+            srp_band_buckets_col(F.col(vec_col), n_bands, planes_per_band, dim)
+        ).alias("bb"),
+    ).withColumns(
+        {"band": F.col("bb.band"), "bucket": F.col("bb.bucket")}
+    ).drop("bb")
+    counted = exploded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    )
+    return counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+
+
+def srp_candidate_pairs(
+    embeddings: DataFrame,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates restricted to the
-    same SRP bucket (the 10^12-vector shape — all-pairs never materializes),
-    verified with the exact cosine and thresholded."""
-    planes = srp_plane_col(dim, n_planes)
-    wb = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = wb.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"), "bucket")
-    b = wb.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    """Distinct (id_a < id_b) pairs colliding in at least one band —
+    the union of per-band bucket self-joins, exactly dedup's LSH shape."""
+    bb = srp_banded_buckets(embeddings, n_bands, planes_per_band, dim, id_col, vec_col)
+    a = bb.select("band", "bucket", F.col("vid").alias("id_a"))
+    b = bb.select("band", "bucket", F.col("vid").alias("id_b"))
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def srp_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded SRP candidates (the
+    10^12-vector shape — all-pairs never materializes, buckets are bounded),
+    verified with the exact cosine and thresholded."""
+    pairs = srp_candidate_pairs(
+        embeddings, n_bands, planes_per_band, dim, id_col, vec_col
+    )
+    vecs = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    return (
+        pairs.join(vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb")), "id_b")
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
@@ -126,33 +211,31 @@ def srp_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
     k: int = 5,
-    n_planes: int = 4,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's SRP bucket.
-
-    The bucket column is a narrow per-row expression; the join is hash-
-    partitioned on bucket — this is the plan that survives when the corpus
-    no longer fits a broadcast.
-    """
-    planes = srp_plane_col(dim, n_planes)
-    with_bucket = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        srp_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    """Approximate top-k: candidates are vectors sharing at least one band
+    bucket with the query (queries broadcast; a pair colliding in several
+    bands is scored once via the max-aggregate — cosine is deterministic per
+    pair, so max == the single score)."""
+    bb = srp_banded_buckets(
+        embeddings, n_bands, planes_per_band, dim, id_col, vec_col, keep_vec=True
     )
-    qs = with_bucket.where(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "bucket"
+    qs = bb.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), "band", "bucket", F.col("vec").alias("qv")
     )
-    cands = with_bucket.select(
-        F.col("vid").alias("cand_id"), F.col("vec").alias("cv"), "bucket"
+    cands = bb.select(
+        F.col("vid").alias("cand_id"), "band", "bucket", F.col("vec").alias("cv")
     )
     scored = (
-        cands.join(F.broadcast(qs), "bucket")
+        cands.join(F.broadcast(qs), ["band", "bucket"])
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
