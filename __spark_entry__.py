@@ -381,9 +381,19 @@ def _q_char_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8-I10: table-region detection (pivot-aligned cell clustering with
     multi-cell-column / min-cell / area-share thresholds) over media spans.
-    Iterative geometry — no SQL oracle; the driver records a rows-only check
-    and pytest goldens pin the behavior (tests/test_tables.py)."""
-    return tables_op.detect_tables(_docs(spark, sf_dir)).drop("data")
+    The clustering is iterative numpy, but over the deterministic stub cells
+    its accepted output (one grid per ref: bbox, dims, cell texts) is
+    md5-arithmetic — the oracle recomputes it analytically, checking both the
+    geometry and that noise boxes were rejected. pytest goldens additionally
+    pin the clustering on adversarial layouts (tests/test_tables.py)."""
+    t = tables_op.detect_tables(_docs(spark, sf_dir))
+    return t.select(
+        "doc_id", "media_ref", "table_idx", "left", "top", "width", "height",
+        "n_rows", "n_cols", "n_cells",
+        F.concat_ws(
+            "|", F.transform(F.col("data"), lambda row: F.array_join(row, ","))
+        ).alias("data_fp"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1158,6 +1168,41 @@ SELECT id_a, id_b,
 FROM pairs
 WHERE {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) >= 0.3
 """
+
+    # Tables: the accepted grid per media ref is pure md5 arithmetic (the
+    # clustering only has to find it and reject the noise boxes — which the
+    # Spark side actually does; the oracle computes the expected result
+    # analytically, so a clustering regression or accepted-noise bug breaks
+    # the row/hash match).
+    _vocab_sql = "[" + ", ".join(f"'{w}'" for w in tables_op._CELL_VOCAB) + "]"
+    sql["tables"] = (
+        _SQL_SPANS_CTE
+        + f""",
+m AS (
+  SELECT doc_id, media_ref, md5(media_ref) AS h FROM spans WHERE kind = 'media'
+),
+par AS (
+  SELECT doc_id, media_ref,
+    3 + (strpos('{_HEX}', substr(h, 1, 1)) - 1) % 4 AS n_rows,
+    2 + (strpos('{_HEX}', substr(h, 2, 1)) - 1) % 3 AS n_cols,
+    40 + strpos('{_HEX}', substr(h, 3, 1)) - 1 AS cw,
+    16 + (strpos('{_HEX}', substr(h, 4, 1)) - 1) % 8 AS ch,
+    20 + strpos('{_HEX}', substr(h, 5, 1)) - 1 AS ox,
+    30 + strpos('{_HEX}', substr(h, 6, 1)) - 1 AS oy
+  FROM m
+)
+SELECT doc_id, media_ref, CAST(0 AS INT) AS table_idx,
+  CAST(ox AS DOUBLE) AS "left", CAST(oy AS DOUBLE) AS "top",
+  CAST((n_cols - 1) * (cw + 4) + cw AS DOUBLE) AS width,
+  CAST((n_rows - 1) * (ch + 4) + ch AS DOUBLE) AS height,
+  CAST(n_rows AS INT) AS n_rows, CAST(n_cols AS INT) AS n_cols,
+  CAST(n_rows * n_cols AS INT) AS n_cells,
+  array_to_string(list_transform(range(n_rows), r ->
+    array_to_string(list_transform(range(n_cols), c ->
+      ({_vocab_sql})[(strpos('{_HEX}', substr(md5(media_ref || ':' || r || ':' || c), 1, 1)) - 1) % {len(tables_op._CELL_VOCAB)} + 1]), ',')), '|') AS data_fp
+FROM par
+"""
+    )
 
     sql["titles"] = (
         _SQL_OUTSPANS_CTE
