@@ -26,6 +26,7 @@ HEADLINE = [
     "sections",
     "ocr_route",
     "rotation",
+    "deskew",
     "media_decode",
     "boilerplate",
     "tables",

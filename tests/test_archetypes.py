@@ -150,6 +150,27 @@ def test_fanout_keeps_empty_docs(spark):
     assert len(rows) == df.count()
 
 
+def test_null_char_scrub(spark):
+    """F5: NUL chars never reach the assembled plain text (reference
+    data_extract.py:113-114); page offsets stay consistent, and the Spark
+    path matches the python oracle byte-for-byte."""
+    from pyspark.sql import Row
+
+    spans = [
+        Row(kind="text", text="abc\x00def", media_ref="", offset=0),
+        Row(kind="text", text="\x00", media_ref="", offset=1),
+    ]
+    df = spark.createDataFrame([Row(doc_id="nul_0", spans=spans)])
+    res = pipeline.extract_from_spans(df, fanout_threshold=None).collect()[0]
+    exp = oracle.extract_spans(
+        "nul_0",
+        [oracle.Span("text", "abc\x00def", "", 0), oracle.Span("text", "\x00", "", 1)],
+    )
+    assert "\x00" not in res["plain_text"]
+    assert res["plain_text"] == exp.plain_text == "abcdef\n\n\f"
+    assert res["pages"][0]["end"] == len(res["plain_text"])
+
+
 def test_language_override(spark):
     """Reference two_langs semantics: forcing the doc language makes every
     segment report it (test_data_extract.py:44-57)."""

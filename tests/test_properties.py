@@ -7,7 +7,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from text_extraction_system_spark.core import angles, oracle, spec, textseg
+from text_extraction_system_spark.core import angles, langid, oracle, spec, textseg
 
 WORDS = st.lists(
     st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=0, max_size=60
@@ -88,6 +88,29 @@ def test_oracle_pipeline_invariants(text, doc_suffix):
     for p in ex.paragraphs:
         seg = ex.plain_text[p["start"]: p["end"]]
         assert seg and "\n" not in seg and "\f" not in seg
+
+
+LANGY_TEXTS = st.lists(
+    st.sampled_from(
+        ["the", "und", "los", "les", "der", "que", "abc", "x.", "y!", "一", "中",
+         " ", "\n", "\f", ". "]
+    ),
+    min_size=0,
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(LANGY_TEXTS)
+def test_lang_index_equals_per_slice_detection(text):
+    """LangIndex (tokenize once, score by offsets) must agree with
+    detect_language on every paragraph/sentence slice and the whole doc."""
+    idx = langid.LangIndex(text)
+    assert idx.lang(0, None) == langid.detect_language(text)
+    for s, e in textseg.paragraph_spans(text):
+        assert idx.lang(s, e) == langid.detect_language(text[s:e]), (s, e)
+    for s, e in textseg.sentence_spans(text):
+        assert idx.lang(s, e) == langid.detect_language(text[s:e]), (s, e)
 
 
 @settings(max_examples=150, deadline=None)

@@ -11,6 +11,7 @@ language with the most hits wins; ties (and zero hits) resolve by
 
 from __future__ import annotations
 
+import bisect
 import re
 
 from . import spec
@@ -44,3 +45,66 @@ def detect_language(text: str) -> str:
             best_hits = hits[lang]
             best_lang = lang
     return best_lang
+
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+class LangIndex:
+    """Tokenize-once language scorer for many subspans of one document.
+
+    ``LangIndex(text).lang(s, e) == detect_language(text[s:e])`` for every
+    span whose boundaries do not cut a ``\\S+`` token — which paragraph and
+    sentence spans never do (paragraphs split on the ``\\n``/``\\f``
+    separators, sentences immediately after ``'. '``). The structure UDF
+    scores the doc + every paragraph + every sentence, so scoring from one
+    token-offset index replaces ~3 full tokenizations plus a slice+lower
+    allocation per segment.
+
+    Falls back to per-slice detection when ``lower()`` changes the string
+    length (rare Unicode case folds would misalign offsets).
+    """
+
+    __slots__ = ("text", "_fallback", "_starts", "_ends", "_langs", "_cjk")
+
+    def __init__(self, text: str) -> None:
+        self.text = text
+        lowered = text.lower()
+        self._fallback = len(lowered) != len(text)
+        if self._fallback:
+            return
+        self._cjk = [m.start() for m in _CJK_RE.finditer(text)]
+        starts: list[int] = []
+        ends: list[int] = []
+        langs: list[tuple[str, ...]] = []
+        for m in _TOKEN_RE.finditer(lowered):
+            ls = _TOKEN_LANGS.get(m.group())
+            if ls:
+                starts.append(m.start())
+                ends.append(m.end())
+                langs.append(ls)
+        self._starts, self._ends, self._langs = starts, ends, langs
+
+    def lang(self, start: int = 0, end: int | None = None) -> str:
+        if end is None:
+            end = len(self.text)
+        if self._fallback:
+            return detect_language(self.text[start:end])
+        i = bisect.bisect_left(self._cjk, start)
+        if i < len(self._cjk) and self._cjk[i] < end:
+            return "zh"
+        hits = dict.fromkeys(spec.LANG_PRIORITY, 0)
+        i = bisect.bisect_left(self._starts, start)
+        n = len(self._starts)
+        while i < n and self._starts[i] < end:
+            if self._ends[i] <= end:
+                for lg in self._langs[i]:
+                    hits[lg] += 1
+            i += 1
+        best_lang = spec.DEFAULT_LANG
+        best_hits = 0
+        for lg in spec.LANG_PRIORITY:
+            if hits[lg] > best_hits:
+                best_hits = hits[lg]
+                best_lang = lg
+        return best_lang

@@ -112,7 +112,10 @@ def assemble(out_spans: list[Span]) -> tuple[str, list[dict]]:
     pages: list[dict] = []
     pos = 0
     for p in range(n_pages):
-        page_text = spec.PARAGRAPH_SEP.join(by_page[p]) + spec.PAGE_END
+        # F5: NUL chars are scrubbed from the assembled text (reference
+        # data_extract.py:113-114) — after joining, so a NUL-only span still
+        # contributes its separator slot
+        page_text = (spec.PARAGRAPH_SEP.join(by_page[p])).replace("\x00", "") + spec.PAGE_END
         pages.append({
             "number": p,
             "start": pos,

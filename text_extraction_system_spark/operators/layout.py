@@ -36,8 +36,16 @@ def page_texts_col(out_spans: Column) -> Column:
             F.slice(out_spans, p * spec.PAGE_SPANS + 1, spec.PAGE_SPANS),
             lambda s: s["text"] != "",
         )
+        # F5 null-char scrub on the assembled text (data_extract.py:113-114);
+        # applied after the join so a NUL-only span keeps its separator slot
         return F.concat(
-            F.array_join(F.transform(in_page, lambda s: s["text"]), spec.PARAGRAPH_SEP),
+            F.translate(
+                F.array_join(
+                    F.transform(in_page, lambda s: s["text"]), spec.PARAGRAPH_SEP
+                ),
+                "\x00",
+                "",
+            ),
             F.lit(spec.PAGE_END),
         )
 

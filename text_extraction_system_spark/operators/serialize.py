@@ -6,8 +6,10 @@ the struct column stays native in the table; serialization is an OPTIONAL
 projection —
 
 * json      — ``F.to_json`` (JVM-side, codegen; the default)
-* msgpack   — Arrow-batched ``mapInPandas`` calling ``msgpack.packb``; gated
-  behind an import-try since the lib is not in this container
+* msgpack   — Arrow-batched ``mapInPandas`` calling ``msgpack.packb`` when
+  the wheel is installed, else the vendored spec-subset packer
+  (``core.minipack`` — byte-identical for the DTO types), so the binary
+  path always runs in CI
 * protobuf  — not ported: the reference's own perf tests measured protobuf
   >2x slower to encode than msgpack at >1.5x the size
   (``test_data_extract.py:198-244``), and a fixed StructType + to_json/
@@ -21,13 +23,17 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # optional dependency
+try:  # optional dependency; the vendored packer is the fallback
     import msgpack  # type: ignore
 
     HAS_MSGPACK = True
+    _packb = msgpack.packb
 except ImportError:
+    from ..core import minipack
+
     msgpack = None
     HAS_MSGPACK = False
+    _packb = minipack.packb
 
 
 def to_json_column(results: DataFrame, struct_col: str = "structure") -> DataFrame:
@@ -37,19 +43,22 @@ def to_json_column(results: DataFrame, struct_col: str = "structure") -> DataFra
 
 def to_msgpack_column(results: DataFrame, struct_col: str = "structure") -> DataFrame:
     """Append ``<struct_col>_msgpack`` (binary) via Arrow batches."""
-    if not HAS_MSGPACK:
-        raise NotImplementedError(
-            "msgpack is not installed in this container; use to_json_column"
-        )
     import pandas as pd
 
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
     out_cols = [f.name for f in results.schema.fields] + [f"{struct_col}_msgpack"]
-    schema = results.schema.add(f"{struct_col}_msgpack", "binary")
+    # build a NEW StructType: StructType.add mutates in place, which would
+    # corrupt the input DataFrame's cached schema
+    schema = StructType(
+        list(results.schema.fields)
+        + [StructField(f"{struct_col}_msgpack", BinaryType())]
+    )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             pdf[f"{struct_col}_msgpack"] = [
-                msgpack.packb(v, use_single_float=True) for v in pdf[struct_col]
+                _packb(v, use_single_float=True) for v in pdf[struct_col]
             ]
             yield pdf[out_cols]
 

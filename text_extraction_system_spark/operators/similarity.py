@@ -90,16 +90,31 @@ PLANES_PER_BAND = 8
 MAX_BUCKET = 64
 
 
-def srp_plane_col(dim: int, n_planes: int) -> Column:
+def srp_plane_values(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic hyperplanes: plane p component j =
-    hexval(md5(p || ':' || j)[0]) - 7.5 (zero-mean, reproducible anywhere)."""
-    def component(p: Column, j: Column) -> Column:
-        c = F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"), j.cast("string"))), 1, 1)
-        return (F.instr(F.lit(_HEX), c) - 1 - F.lit(7.5)).cast("double")
+    hexval(md5(p || ':' || j)[0]) - 7.5 (zero-mean, reproducible anywhere —
+    the DuckDB oracle recomputes the same md5 expression)."""
+    import hashlib
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: component(p, j)),
+    return [
+        [
+            float(int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0], 16)) - 7.5
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_plane_col(dim: int, n_planes: int) -> Column:
+    """Plane matrix as a LITERAL nested array. The planes depend only on
+    (p, j), but an md5-expression formulation is interpreted per ROW by the
+    HOF evaluator — n_planes*dim md5 calls per input row (measured: 24x
+    slower for 32 planes x 64 dims at sf0.1). Constants belong in the plan."""
+    return F.array(
+        *[
+            F.array(*[F.lit(v) for v in plane]).cast("array<double>")
+            for plane in srp_plane_values(dim, n_planes)
+        ]
     )
 
 

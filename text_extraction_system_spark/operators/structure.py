@@ -26,21 +26,29 @@ from ..core import langid, textseg
 def _structure_of(text: str, force_language: str | None = None) -> dict:
     """``force_language`` mirrors the reference's per-request doc_language
     override: every segment reports the forced language
-    (two_langs fixture semantics, test_data_extract.py:44-57)."""
-    def lang(seg: str) -> str:
-        return force_language or langid.detect_language(seg)
+    (two_langs fixture semantics, test_data_extract.py:44-57).
+
+    Language scoring tokenizes the doc once (langid.LangIndex) and scores
+    each paragraph/sentence from token offsets — equivalent to per-slice
+    detection (segment boundaries never cut tokens) without re-tokenizing
+    the text ~3x and allocating a lowered slice per segment."""
+    if force_language:
+        def lang(_s: int, _e: int | None = None) -> str:
+            return force_language
+    else:
+        lang = langid.LangIndex(text).lang
 
     paragraphs = [
-        {"start": s, "end": e, "language": lang(text[s:e])}
+        {"start": s, "end": e, "language": lang(s, e)}
         for s, e in textseg.paragraph_spans(text)
     ]
     sentences = [
-        {"start": s, "end": e, "language": lang(text[s:e])}
+        {"start": s, "end": e, "language": lang(s, e)}
         for s, e in textseg.sentence_spans(text)
     ]
     return {
         "title": textseg.detect_title(text),
-        "language": lang(text),
+        "language": lang(0, None),
         "paragraphs": paragraphs,
         "sentences": sentences,
         "sections": textseg.detect_sections(text),
@@ -89,11 +97,12 @@ def paragraph_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFr
             out = {"doc_id": [], "par_start": [], "par_end": [], "language": []}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 t = text if text is not None else ""
+                lang = langid.LangIndex(t).lang
                 for s, e in textseg.paragraph_spans(t):
                     out["doc_id"].append(doc_id)
                     out["par_start"].append(s)
                     out["par_end"].append(e)
-                    out["language"].append(langid.detect_language(t[s:e]))
+                    out["language"].append(lang(s, e))
             yield pd.DataFrame(out, columns=list(out.keys()))
 
     return assembled.select("doc_id", text_col).mapInPandas(
@@ -114,11 +123,12 @@ def sentence_rows(assembled: DataFrame, text_col: str = "plain_text") -> DataFra
             out = {"doc_id": [], "sent_start": [], "sent_end": [], "language": []}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 t = text if text is not None else ""
+                lang = langid.LangIndex(t).lang
                 for s, e in textseg.sentence_spans(t):
                     out["doc_id"].append(doc_id)
                     out["sent_start"].append(s)
                     out["sent_end"].append(e)
-                    out["language"].append(langid.detect_language(t[s:e]))
+                    out["language"].append(lang(s, e))
             yield pd.DataFrame(out, columns=list(out.keys()))
 
     return assembled.select("doc_id", text_col).mapInPandas(
