@@ -33,7 +33,7 @@ from text_extraction_system_spark.operators import (
     similarity,
     textstats,
 )
-from text_extraction_system_spark.operators import deskew_op
+from text_extraction_system_spark.operators import deskew_op, toc
 from text_extraction_system_spark.operators import structure as structure_op
 
 _HEX = "0123456789abcdef"
@@ -361,6 +361,15 @@ def _q_ocr_route_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sections_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J7/J8: TOC-preferred sections — docs with a TOC anchor one entry
+    per page through the char-coordinate map (geometry.anchor_toc_sections);
+    the rest fall back to the heading heuristic over the extracted text
+    (reference data_extract.py:165-181, 220-263 choose-TOC branch)."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return toc.toc_section_rows(res)
+
+
 def _q_deskew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2-A4/W7: full deskew composition (glyph-angle histogram -> cluster ->
     weighted 10%-trimmed mean -> half-up snap, with reading-direction trend
@@ -432,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_coords": _q_char_coords,
         "ocr_route_pages": _q_ocr_route_pages,
         "deskew": _q_deskew,
+        "sections_toc": _q_sections_toc,
     }
 
 
@@ -1168,6 +1178,36 @@ SELECT id_a, id_b,
 FROM pairs
 WHERE {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) >= 0.3
 """
+
+    # TOC-preferred sections. TOC docs anchor one entry per page at the
+    # page's top-left: the nearest printable char to (0,0) in page-local
+    # line numbering is the page's first char (page text starts with a span
+    # text char; an all-empty page anchors at its first separator char) —
+    # so the expected section starts are exactly the page starts. Non-TOC
+    # docs fall back to heading detection over the extracted plain text,
+    # which contains no heading-shaped paragraphs in this corpus (verified;
+    # the heading path's general SQL twin is sql["sections"]), so the
+    # fallback contributes no rows here.
+    sql["sections_toc"] = (
+        _SQL_PAGES_CTE
+        + f""",
+doclen AS (
+  SELECT doc_id, max(page_end) AS text_len FROM pagebounds GROUP BY doc_id
+),
+tocdocs AS (
+  SELECT doc_id, text_len FROM doclen
+  WHERE strpos('{_HEX}', substr(md5('toc:' || doc_id), 1, 1)) >= 9
+)
+SELECT p.doc_id,
+  CAST(p.page_start AS BIGINT) AS start,
+  CAST(coalesce(lead(p.page_start) OVER (PARTITION BY p.doc_id ORDER BY p.page_number),
+                t.text_len) AS BIGINT) AS "end",
+  'SECTION ' || CAST(p.page_number AS VARCHAR) AS title,
+  CAST(1 AS BIGINT) AS level,
+  'toc' AS source
+FROM pagebounds p JOIN tocdocs t USING (doc_id)
+"""
+    )
 
     # Tables: the accepted grid per media ref is pure md5 arithmetic (the
     # clustering only has to find it and reject the noise boxes — which the

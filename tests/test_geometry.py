@@ -91,3 +91,26 @@ def test_toc_end_assignment_rule():
     assert a["end"] == 2       # closed by B (level 1), not by A.1
     assert a1["end"] == 2      # closed by B (level <= 2)
     assert b["end"] == 3       # runs to EOF
+
+
+def test_toc_preferred_over_heading_heuristic():
+    """Reference choose-TOC branch (data_extract.py:165-181): a doc with both
+    a TOC and heading-shaped paragraphs uses the TOC anchors; without a TOC,
+    the heading heuristic decides."""
+    from text_extraction_system_spark.operators import toc as toc_op
+
+    text = "1. INTRO\nbody body\n\f2. METHODS\nmore body\n\f"
+    pages = [
+        {"number": 0, "start": 0, "end": 20},
+        {"number": 1, "start": 20, "end": len(text)},
+    ]
+    entries = toc_op.synth_toc(pages)
+    with_toc = toc_op.sections_for_doc(text, pages, entries)
+    assert [s["source"] for s in with_toc] == ["toc", "toc"]
+    assert [s["title"] for s in with_toc] == ["SECTION 0", "SECTION 1"]
+    assert [s["start"] for s in with_toc] == [0, 20]
+    assert with_toc[0]["end"] == 20 and with_toc[1]["end"] == len(text)
+
+    fallback = toc_op.sections_for_doc(text, pages, [])
+    assert [s["source"] for s in fallback] == ["heading", "heading"]
+    assert [s["title"] for s in fallback] == ["INTRO", "METHODS"]
