@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from . import pipeline
 
+_METRIC_AGG_SCHEMA = (
+    "partition_id int, doc_count long, span_count long, byte_count long, "
+    "failure_count long, failure_codes array<string>"
+)
+
 
 def snapshot_id(docs: DataFrame) -> str:
     """Deterministic id of the input snapshot: hash of source file list."""
@@ -78,38 +83,50 @@ def run_extraction(
         "run_id", F.lit(run_id)
     )
 
+    # in-job lineage: stamp the processing job's partition id, persist, and
+    # account from the exact partitions that get committed — no read-back of
+    # the results table (at 100 TB re-reading the output to account for it
+    # doubles the I/O and reflects the re-read's partitioning, not the
+    # write's). Order matters: the metrics aggregate runs FIRST (materializing
+    # the cache), the append runs second from the cached partitions — the
+    # append invalidates every cached plan referencing results_path (the
+    # resume anti-join does), so aggregating after it would recompute against
+    # the just-appended table and see zero todo docs.
+    stamped = results.withColumn("partition_id", F.spark_partition_id()).persist()
     results_path = os.path.join(base_dir, "results")
-    results.write.mode("append").parquet(results_path)
+    try:
+        metric_rows = (
+            stamped.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.sum(F.size("out_spans")).cast("long").alias("span_count"),
+                F.sum(F.length("plain_text")).cast("long").alias("byte_count"),
+                F.sum(F.size("parse_failures")).cast("long").alias("failure_count"),
+                F.array_distinct(
+                    F.flatten(F.collect_list("parse_failures"))
+                ).alias("failure_codes"),
+            )
+            .collect()  # one tiny row per write partition
+        )
+        stamped.drop("partition_id").write.mode("append").parquet(results_path)
+    finally:
+        stamped.unpersist()
 
-    # lineage from the committed slice: per input-partition accounting
-    written = spark.read.parquet(results_path).where(F.col("run_id") == run_id)
-    metrics = (
-        written.withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.sum(F.size("out_spans")).cast("long").alias("span_count"),
-            F.sum(F.length("plain_text")).cast("long").alias("byte_count"),
-            F.sum(F.size("parse_failures")).cast("long").alias("failure_count"),
-            F.array_distinct(
-                F.flatten(F.collect_list("parse_failures"))
-            ).alias("failure_codes"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.lit(snap).alias("snapshot_id"),
-            "partition_id",
-            "doc_count",
-            "span_count",
-            "byte_count",
-            "failure_count",
-            "failure_codes",
-            F.current_timestamp().alias("finished_at"),
-        )
+    metrics = spark.createDataFrame(metric_rows, schema=_METRIC_AGG_SCHEMA).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(snap).alias("snapshot_id"),
+        "partition_id",
+        "doc_count",
+        "span_count",
+        "byte_count",
+        "failure_count",
+        "failure_codes",
+        F.current_timestamp().alias("finished_at"),
     )
     metrics.write.mode("append").parquet(os.path.join(base_dir, "metrics"))
 
-    processed = written.count()
+    # processed comes from the already-collected lineage rows: no extra job
+    processed = sum(r["doc_count"] for r in metric_rows)
     return {
         "run_id": run_id,
         "snapshot_id": snap,

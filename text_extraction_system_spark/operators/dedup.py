@@ -114,8 +114,12 @@ def lsh_candidate_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     ).where(F.col("bucket_n") <= MAX_BUCKET)
     # the self-join would otherwise re-execute the whole signature plan for
     # each branch; at cluster scale you would materialize signatures to a
-    # table instead (same idea, durable)
-    counted = counted.persist()
+    # table instead (same idea, durable). localCheckpoint rather than
+    # persist: cached-plan entries live in the CacheManager until an explicit
+    # unpersist (they leak across repeated invocations — bench/driver loops),
+    # while checkpoint blocks are reference-tracked and freed when the
+    # DataFrame is garbage-collected.
+    counted = counted.localCheckpoint()
     a = counted.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = counted.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -134,7 +138,7 @@ def near_dup_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     sets ride along via two hash joins on doc_id.
     """
     pairs = lsh_candidate_pairs(docs, doc_id_col, text_col)
-    sh = doc_shingles(docs, doc_id_col, text_col).persist()
+    sh = doc_shingles(docs, doc_id_col, text_col).localCheckpoint()
     return (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("shingles", "sh_a"), "doc_a")
