@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_extraction_system_spark import pipeline
-from text_extraction_system_spark.core import spec
+from text_extraction_system_spark.core import charboxes, spec
 from text_extraction_system_spark.operators import derive_spans as ds
 from text_extraction_system_spark.operators import (
     boilerplate,
@@ -361,6 +361,20 @@ def _q_ocr_route_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 text->coords lookup join: paragraph char spans -> merged line
+    rectangles over the char-box map (reference text_coord_map.py:41-150)."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return coords.text_to_coords(res)
+
+
+def _q_coords_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 coords->text lookup join: longest char run under a selection area
+    (reference coord_text_map.py:96-128 find_longest_location)."""
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return coords.coords_to_text(res)
+
+
 def _q_sections_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J7/J8: TOC-preferred sections — docs with a TOC anchor one entry
     per page through the char-coordinate map (geometry.anchor_toc_sections);
@@ -442,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_route_pages": _q_ocr_route_pages,
         "deskew": _q_deskew,
         "sections_toc": _q_sections_toc,
+        "text_coords": _q_text_coords,
+        "coords_text": _q_coords_text,
     }
 
 
@@ -1206,6 +1222,63 @@ SELECT p.doc_id,
   CAST(1 AS BIGINT) AS level,
   'toc' AS source
 FROM pagebounds p JOIN tocdocs t USING (doc_id)
+"""
+    )
+
+    # J5/J6 coordinate<->text lookup joins. Shared 'lines' CTE: on the
+    # monospace layout every paragraph is one page-local line; entry k of a
+    # page's '\n'-split text starts at page_start + sum(prev lens) + k and
+    # sits at y = CHAR_H*k. The final split fragment is the '\f' page
+    # terminator, never a paragraph.
+    _ch_w, _ch_h = int(charboxes.CHAR_W), int(charboxes.CHAR_H)
+    _lines_cte = (
+        _SQL_PAGES_CTE
+        + """,
+rawlines AS (
+  SELECT doc_id, page_number, page_start, string_split(ptext, chr(10)) AS ls
+  FROM pagebounds
+),
+lines AS (
+  SELECT doc_id, page_number, k AS line_idx, ls[k+1] AS ltext,
+         CAST(page_start
+              + coalesce(list_sum(list_transform(ls[1:k], x -> length(x))), 0)
+              + k AS BIGINT) AS lstart
+  FROM rawlines, unnest(range(len(ls) - 1)) AS t(k)
+  WHERE ls[k+1] != ''
+)
+"""
+    )
+
+    sql["text_coords"] = (
+        _lines_cte
+        + f"""
+SELECT doc_id, lstart AS par_start,
+       CAST(lstart + length(ltext) AS BIGINT) AS par_end,
+       CAST(0 AS BIGINT) AS x,
+       CAST({_ch_h} * line_idx AS BIGINT) AS y,
+       CAST({_ch_w} * length(ltext) AS BIGINT) AS w,
+       CAST({_ch_h} AS BIGINT) AS h
+FROM lines
+"""
+    )
+
+    # the selection area covers page-local lines 1-2 (y in [CH, 3*CH), any x);
+    # separator chars have zero boxes, so candidate runs are exactly those
+    # lines, and the longest one (earliest on ties = argmax-first) wins
+    sql["coords_text"] = (
+        _lines_cte
+        + """,
+cand AS (
+  SELECT doc_id, lstart, length(ltext) AS n, ltext FROM lines
+  WHERE line_idx IN (1, 2)
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lstart) AS rk
+  FROM cand
+)
+SELECT doc_id, CAST(lstart AS BIGINT) AS sel_start,
+       CAST(lstart + n AS BIGINT) AS sel_end, ltext AS sel_text
+FROM win WHERE rk = 1
 """
     )
 

@@ -65,6 +65,28 @@ def test_structure(spark_results, oracle_results):
         assert st["sentences"] == exp.sentences, doc_id
 
 
+def test_span_texts_contain_no_separator_chars(spark, docs_df):
+    """Corpus invariant the paragraph/sentence oracle SQL relies on: span
+    texts never contain the paragraph/page separator chars (\\n, \\f) or NUL,
+    so 'one non-empty span == one paragraph' holds. Checked over the derived
+    spans AND the OCR'd output spans."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import derive_spans as ds
+    from text_extraction_system_spark.operators import restitch
+
+    out = restitch.process_spans(ds.derive_spans(docs_df))
+    bad = out.select(
+        F.exists(
+            "out_spans",
+            lambda s: s["text"].contains("\n")
+            | s["text"].contains("\f")
+            | s["text"].contains("\x00"),
+        ).alias("bad")
+    ).where("bad")
+    assert bad.count() == 0
+
+
 def test_inline_equals_fanout(spark, docs_df, oracle_results):
     """Both physical strategies must produce identical logical results
     (reference J1-J3 chord == our shuffle gather)."""
