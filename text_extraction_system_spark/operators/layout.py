@@ -26,30 +26,32 @@ def page_texts_col(out_spans: Column) -> Column:
     exactly the contiguous slice ``[p*PAGE_SPANS+1, PAGE_SPANS]`` — O(S) total
     instead of the per-page filter's O(n_pages × S), which is quadratic for a
     giant doc (10^5 spans -> ~2.5e9 comparisons in one task)."""
+    from .exprutil import let
+
     n_pages = (F.element_at(out_spans, -1)["offset"] / spec.PAGE_SPANS).cast("int") + 1
     pages_idx = F.when(
         F.size(out_spans) > 0, F.sequence(F.lit(0), n_pages - 1)
     ).otherwise(F.array().cast("array<int>"))
 
-    def page_text(p: Column) -> Column:
-        in_page = F.filter(
-            F.slice(out_spans, p * spec.PAGE_SPANS + 1, spec.PAGE_SPANS),
-            lambda s: s["text"] != "",
-        )
-        # F5 null-char scrub on the assembled text (data_extract.py:113-114);
-        # applied after the join so a NUL-only span keeps its separator slot
-        return F.concat(
-            F.translate(
-                F.array_join(
-                    F.transform(in_page, lambda s: s["text"]), spec.PARAGRAPH_SEP
-                ),
-                "\x00",
-                "",
-            ),
-            F.lit(spec.PAGE_END),
-        )
+    # project the text field ONCE (let-bound): per-page slices then copy
+    # PAGE_SPANS string refs instead of PAGE_SPANS full span structs
+    def pages_from(texts: Column) -> Column:
+        def page_text(p: Column) -> Column:
+            in_page = F.filter(
+                F.slice(texts, p * spec.PAGE_SPANS + 1, spec.PAGE_SPANS),
+                lambda t: t != "",
+            )
+            # F5 null-char scrub on the assembled text
+            # (data_extract.py:113-114); applied after the join so a
+            # NUL-only span keeps its separator slot
+            return F.concat(
+                F.translate(F.array_join(in_page, spec.PARAGRAPH_SEP), "\x00", ""),
+                F.lit(spec.PAGE_END),
+            )
 
-    return F.transform(pages_idx, page_text)
+        return F.transform(pages_idx, page_text)
+
+    return let(F.transform(out_spans, lambda s: s["text"]), pages_from)
 
 
 def plain_text_col(page_texts: Column) -> Column:

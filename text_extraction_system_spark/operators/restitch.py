@@ -47,12 +47,16 @@ def process_spans_inline(spans_df: DataFrame) -> DataFrame:
     )
 
 
-def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
+def process_spans_fanout(spans_df: DataFrame, may_have_empty: bool = True) -> DataFrame:
     """Same result via explode -> per-span map -> ordered gather.
 
     The groupBy shuffle hashes on doc_id, so all of one giant doc's spans
     land in one reduce task; ``collect_list`` + ``array_sort`` on
     (offset, span) structs is the ordered re-merge.
+
+    ``may_have_empty=False`` skips the zero-span carry-through branch (an
+    extra input scan) when the caller guarantees every doc has spans — true
+    for the routed path, where empty docs always go inline.
     """
     decided = spans_df.select(
         "doc_id",
@@ -60,12 +64,16 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
         ocr.parse_failures_col(F.col("spans")).alias("parse_failures"),
         "spans",
     )
-    # explode drops zero-span docs; carry them through explicitly so the two
-    # physical strategies agree on empty docs (out_spans = empty array).
-    empty = decided.where(F.size("spans") == 0).select(
-        "doc_id", "needs_ocr", "parse_failures", F.col("spans").alias("out_spans")
-    )
-    exploded = decided.where(F.size("spans") > 0).select(
+    exploded = decided
+    empty = None
+    if may_have_empty:
+        # explode drops zero-span docs; carry them through explicitly so the
+        # two physical strategies agree on empty docs (out_spans = []).
+        empty = decided.where(F.size("spans") == 0).select(
+            "doc_id", "needs_ocr", "parse_failures", F.col("spans").alias("out_spans")
+        )
+        exploded = decided.where(F.size("spans") > 0)
+    exploded = exploded.select(
         "doc_id", "needs_ocr", "parse_failures", F.explode("spans").alias("s")
     )
     mapped = exploded.select(
@@ -79,12 +87,13 @@ def process_spans_fanout(spans_df: DataFrame) -> DataFrame:
             F.collect_list(F.struct(F.col("o.offset").alias("offset"), F.col("o").alias("s")))
         ).alias("keyed")
     )
-    return gathered.select(
+    out = gathered.select(
         "doc_id",
         "needs_ocr",
         "parse_failures",
         F.transform(F.col("keyed"), lambda k: k["s"]).alias("out_spans"),
-    ).unionByName(empty)
+    )
+    return out.unionByName(empty) if empty is not None else out
 
 
 def process_spans(
@@ -101,4 +110,8 @@ def process_spans(
         return process_spans_fanout(spans_df)
     small = spans_df.where(F.size("spans") <= fanout_threshold)
     giant = spans_df.where(F.size("spans") > fanout_threshold)
-    return process_spans_inline(small).unionByName(process_spans_fanout(giant))
+    # giant docs have > threshold >= 1 spans, never zero — skip the
+    # empty-doc carry-through scan in the fanout branch
+    return process_spans_inline(small).unionByName(
+        process_spans_fanout(giant, may_have_empty=False)
+    )
