@@ -375,6 +375,14 @@ def _q_coords_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coords.coords_to_text(res)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: per-row nearest-centroid assignment (the
+    materialize-and-partition-by column at 10^12 rows), queries scan their
+    n_probe nearest cells only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb)
+
+
 def _q_sections_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J7/J8: TOC-preferred sections — docs with a TOC anchor one entry
     per page through the char-coordinate map (geometry.anchor_toc_sections);
@@ -458,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sections_toc": _q_sections_toc,
         "text_coords": _q_text_coords,
         "coords_text": _q_coords_text,
+        "ann_ivf_topk": _q_ann_ivf_topk,
     }
 
 
@@ -882,6 +891,58 @@ scored AS (
   SELECT query_id, cand_id,
          {_dotp('qv', 'cv')} / (sqrt({_dotp('qv', 'qv')}) * sqrt({_dotp('cv', 'cv')})) AS cosine
   FROM pairs
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # IVF ANN twin. Centroid components are half-integers (squared norms are
+    # exact dyadics — order-independent), distances use the same
+    # c2 - 2.0*dot(sequential fold) expression order as the engine, and the
+    # nearest/probe selection orders by (dist, centroid) exactly like the
+    # engine's lexicographic (d, i) struct sort.
+    _ivf_dot = (
+        "list_reduce(list_prepend(0.0, list_transform(range(64), "
+        "j -> {v}[j+1]::DOUBLE * cv[j+1])), (x, y) -> x + y)"
+    )
+    sql["ann_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT t.c AS c,
+         list_transform(range(64), j -> CAST(strpos('{_HEX}',
+           substr(md5('ivf:' || t.c || ':' || j), 1, 1)) - 1 - 7.5 AS DOUBLE)) AS cv
+  FROM unnest(range({similarity.IVF_CENTROIDS})) AS t(c)
+),
+cents2 AS (
+  SELECT c, cv,
+         list_reduce(list_prepend(0.0, list_transform(cv, x -> x * x)),
+                     (a, b) -> a + b) AS c2
+  FROM cents
+),
+dists AS (
+  SELECT e.vec_id AS vid, e.embedding AS vec, c2.c AS c,
+         c2.c2 - 2.0 * {_ivf_dot.format(v='e.embedding')} AS dist
+  FROM embeddings e, cents2 c2
+),
+assigned AS (
+  SELECT vid, vec, c AS cell,
+         row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS rk
+  FROM dists
+),
+base AS (SELECT vid, vec, cell FROM assigned WHERE rk = 1),
+probes AS (
+  SELECT vid AS query_id, vec AS qv, c AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS prk
+        FROM dists WHERE vid < 20)
+  WHERE prk <= {similarity.IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, b.vid AS cand_id,
+         {_dotp('p.qv', 'b.vec')} / (sqrt({_dotp('p.qv', 'p.qv')}) * sqrt({_dotp('b.vec', 'b.vec')})) AS cosine
+  FROM base b JOIN probes p ON b.cell = p.cell
+  WHERE b.vid != p.query_id
 ),
 ranked AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank

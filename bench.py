@@ -38,6 +38,7 @@ HEADLINE = [
     "near_dup_pairs",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "sessionize",
     "tumbling",
     "pricing_summary",

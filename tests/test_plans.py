@@ -92,6 +92,25 @@ def test_ann_query_side_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ivf_topk_shape_and_plan(spark):
+    """IVF ANN: query side broadcasts, probes are distinct cells (no pair
+    scored twice), ranks are dense 1..k per query."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.ivf_topk(emb, n_queries=5, k=3)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len({x["cand_id"] for x in rs}) == len(rs)
+
+
 def test_srp_bucket_space_and_skew_guard(spark):
     """Scale posture of the banded SRP LSH: with 16 planes per band the
     per-band bucket space is 2^16 (not the round-1 flat 16-bucket table),

@@ -258,3 +258,120 @@ def srp_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+#: coarse quantizer size / probe count. Real IVF trains centroids with
+#: k-means; here they are deterministic hash-derived vectors (the sandbox
+#: convention — the partitioning/plan shape is the logic under test, and the
+#: oracle can rebuild identical centroids). 64 cells probing 8 scans ~12.5%
+#: of the corpus per query; at 10^9+ vectors raise IVF_CENTROIDS toward
+#: sqrt(n) and keep n_probe fixed.
+IVF_CENTROIDS = 64
+IVF_PROBE = 8
+
+
+def ivf_centroid_values(dim: int = 64, n_centroids: int = IVF_CENTROIDS) -> list[list[float]]:
+    """Centroid c component j = hexval(md5('ivf:c:j')[0]) - 7.5 — half-integer
+    values, so squared norms are exact dyadics (order-independent in float)."""
+    import hashlib
+
+    return [
+        [
+            float(int(hashlib.md5(f"ivf:{c}:{j}".encode()).hexdigest()[0], 16)) - 7.5
+            for j in range(dim)
+        ]
+        for c in range(n_centroids)
+    ]
+
+
+def _ivf_cells_lit(dim: int, n_centroids: int) -> Column:
+    """Literal array<struct<c2: double, cv: array<double>>> of centroids with
+    precomputed squared norms (exact: components are half-integers)."""
+    cents = ivf_centroid_values(dim, n_centroids)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(sum(v * v for v in cv)).alias("c2"),
+                F.array(*[F.lit(v) for v in cv]).cast("array<double>").alias("cv"),
+            )
+            for cv in cents
+        ]
+    )
+
+
+def ivf_dists_col(vec: Column, cells: Column) -> Column:
+    """array<double> of L2-distance proxies |c|^2 - 2*(vec . c) per centroid
+    (argmin-equivalent to true L2; the |vec|^2 term is constant per row)."""
+    return F.transform(cells, lambda s: s["c2"] - 2.0 * dot_col(vec, s["cv"]))
+
+
+def ivf_cell_col(dists: Column) -> Column:
+    """0-based index of the nearest centroid (first on exact ties)."""
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_probe_cells_col(dists: Column, n_probe: int) -> Column:
+    """0-based indices of the n_probe nearest centroids (lexicographic
+    (dist, idx) sort: deterministic tie-break by index)."""
+    n = F.size(dists)
+    keyed = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(F.element_at(dists, i + 1).alias("d"), i.cast("int").alias("i")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(keyed), 1, n_probe), lambda s: s["i"]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted file: every vector is assigned to
+    its nearest coarse centroid (one narrow per-row pass — at 10^12 rows this
+    is the column you materialize and partition by); each query scans only
+    its n_probe nearest cells. Probed cells are distinct, so no pair is
+    scored twice. Queries broadcast; the join hashes on the cell id."""
+    from .exprutil import let
+
+    cells_lit = _ivf_cells_lit(dim, n_centroids)
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
+    )
+    qs = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            let(
+                ivf_dists_col(F.col(vec_col), cells_lit),
+                lambda d: ivf_probe_cells_col(d, n_probe),
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        base.join(F.broadcast(qs), "cell")
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("cand_id"),
+            cosine_col(F.col("qv"), F.col("vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
