@@ -107,3 +107,39 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         if r["session_start_us"] != last_start[r["user_id"]]
     }
     assert got == closed
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicates of the same content hash within the
+    watermark horizon are dropped; exactly one row per distinct text
+    survives."""
+    import pandas as pd
+
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "din"), str(tmp_path / "dckpt"), str(tmp_path / "dout")
+    )
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(8)],
+            "text": ["alpha", "beta", "alpha", "gamma", "beta", "alpha", "delta", "gamma"],
+            "ingest_ts": [base + pd.Timedelta(minutes=m) for m in range(8)],
+        }
+    )
+    spark.createDataFrame(rows).write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "doc_id string, text string, ingest_ts timestamp"
+    ).parquet(in_dir)
+    (
+        jobs.dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir).collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha", "beta", "delta", "gamma"]

@@ -169,3 +169,26 @@ def run_windowed_counts_stream(
         .start()
         .awaitTermination()
     )
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest twin of the batch
+    hash-groupBy dedup: first occurrence of each content hash within the
+    watermark horizon passes, later duplicates are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the md5 content hash and
+    expires it past the watermark, so state is bounded by (ingest rate x
+    horizon), not corpus size — the only formulation that survives an
+    unbounded stream. Exact-once global dedup across all history is the
+    batch job's task (or a MERGE against the committed table)."""
+    hashed = docs_stream.withColumn("content_hash", F.md5(F.col(text_col))).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
