@@ -150,6 +150,32 @@ def test_fanout_keeps_empty_docs(spark):
     assert len(rows) == df.count()
 
 
+def test_sparse_offsets_keep_page_semantics(spark):
+    """Spans with offset gaps (an intentionally empty leading page) must land
+    on the page their OFFSET names, exactly like core/oracle.assemble — the
+    slice fast path only applies to dense offset sequences."""
+    from pyspark.sql import Row
+
+    spans = [
+        Row(kind="text", text="page one a", media_ref="", offset=4),
+        Row(kind="text", text="page one b", media_ref="", offset=5),
+    ]
+    df = spark.createDataFrame([Row(doc_id="sparse_0", spans=spans)])
+    res = pipeline.extract_from_spans(df, with_structure=False).collect()[0]
+    exp = oracle.extract_spans(
+        "sparse_0",
+        [
+            oracle.Span("text", "page one a", "", 4),
+            oracle.Span("text", "page one b", "", 5),
+        ],
+    )
+    assert res["plain_text"] == exp.plain_text == "\n\fpage one a\npage one b\n\f"
+    assert len(res["pages"]) == 2
+    assert [(p["start"], p["end"]) for p in res["pages"]] == [
+        (p["start"], p["end"]) for p in exp.pages
+    ]
+
+
 def test_null_char_scrub(spark):
     """F5: NUL chars never reach the assembled plain text (reference
     data_extract.py:113-114); page offsets stay consistent, and the Spark

@@ -118,8 +118,9 @@ def lsh_candidate_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     # persist: cached-plan entries live in the CacheManager until an explicit
     # unpersist (they leak across repeated invocations — bench/driver loops),
     # while checkpoint blocks are reference-tracked and freed when the
-    # DataFrame is garbage-collected.
-    counted = counted.localCheckpoint()
+    # DataFrame is garbage-collected. eager=False so merely CONSTRUCTING the
+    # DataFrame (explain(), plan tests, bench warm-up wiring) runs no jobs.
+    counted = counted.localCheckpoint(eager=False)
     a = counted.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = counted.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -138,7 +139,7 @@ def near_dup_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     sets ride along via two hash joins on doc_id.
     """
     pairs = lsh_candidate_pairs(docs, doc_id_col, text_col)
-    sh = doc_shingles(docs, doc_id_col, text_col).localCheckpoint()
+    sh = doc_shingles(docs, doc_id_col, text_col).localCheckpoint(eager=False)
     return (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("shingles", "sh_a"), "doc_a")

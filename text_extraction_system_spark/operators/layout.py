@@ -21,11 +21,15 @@ from ..core import spec
 def page_texts_col(out_spans: Column) -> Column:
     """array<string>: assembled text of each page (with separators).
 
-    Offsets are dense 0..n-1 and ``out_spans`` is offset-ordered (derive_spans
-    assigns sequential offsets; restitch re-sorts on them), so page ``p`` is
-    exactly the contiguous slice ``[p*PAGE_SPANS+1, PAGE_SPANS]`` — O(S) total
-    instead of the per-page filter's O(n_pages × S), which is quadratic for a
-    giant doc (10^5 spans -> ~2.5e9 comparisons in one task)."""
+    Fast path: when offsets are dense 0..n-1 and offset-ordered (always true
+    for engine-derived spans — derive_spans assigns sequential offsets and
+    restitch re-sorts on them), page ``p`` is exactly the contiguous slice
+    ``[p*PAGE_SPANS+1, PAGE_SPANS]`` — O(S) total instead of the per-page
+    filter's O(n_pages × S), which is quadratic for a giant doc (10^5 spans
+    -> ~2.5e9 comparisons in one task). Externally-authored spans with gaps
+    or out-of-order offsets (e.g. an intentionally empty leading page) are
+    detected per row with one cheap O(S) pass and take the offset-keyed
+    filter path, matching core/oracle.assemble's offset semantics exactly."""
     from .exprutil import let
 
     n_pages = (F.element_at(out_spans, -1)["offset"] / spec.PAGE_SPANS).cast("int") + 1
@@ -33,25 +37,47 @@ def page_texts_col(out_spans: Column) -> Column:
         F.size(out_spans) > 0, F.sequence(F.lit(0), n_pages - 1)
     ).otherwise(F.array().cast("array<int>"))
 
+    def page_end(body: Column) -> Column:
+        # F5 null-char scrub on the assembled text (data_extract.py:113-114);
+        # applied after the join so a NUL-only span keeps its separator slot
+        return F.concat(F.translate(body, "\x00", ""), F.lit(spec.PAGE_END))
+
     # project the text field ONCE (let-bound): per-page slices then copy
     # PAGE_SPANS string refs instead of PAGE_SPANS full span structs
-    def pages_from(texts: Column) -> Column:
+    def dense_pages(texts: Column) -> Column:
         def page_text(p: Column) -> Column:
             in_page = F.filter(
                 F.slice(texts, p * spec.PAGE_SPANS + 1, spec.PAGE_SPANS),
                 lambda t: t != "",
             )
-            # F5 null-char scrub on the assembled text
-            # (data_extract.py:113-114); applied after the join so a
-            # NUL-only span keeps its separator slot
-            return F.concat(
-                F.translate(F.array_join(in_page, spec.PARAGRAPH_SEP), "\x00", ""),
-                F.lit(spec.PAGE_END),
+            return page_end(F.array_join(in_page, spec.PARAGRAPH_SEP))
+
+        return F.transform(pages_idx, page_text)
+
+    def keyed_pages() -> Column:
+        def page_text(p: Column) -> Column:
+            in_page = F.filter(
+                out_spans,
+                lambda s: (s["text"] != "")
+                & (F.floor(s["offset"] / spec.PAGE_SPANS).cast("int") == p),
+            )
+            return page_end(
+                F.array_join(F.transform(in_page, lambda s: s["text"]), spec.PARAGRAPH_SEP)
             )
 
         return F.transform(pages_idx, page_text)
 
-    return let(F.transform(out_spans, lambda s: s["text"]), pages_from)
+    is_dense = F.forall(
+        F.zip_with(
+            out_spans,
+            F.sequence(F.lit(0), F.greatest(F.size(out_spans), F.lit(1)) - 1),
+            lambda s, i: s["offset"] == i,
+        ),
+        lambda b: b,
+    )
+    return F.when(
+        is_dense, let(F.transform(out_spans, lambda s: s["text"]), dense_pages)
+    ).otherwise(keyed_pages())
 
 
 def plain_text_col(page_texts: Column) -> Column:

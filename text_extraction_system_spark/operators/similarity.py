@@ -174,7 +174,15 @@ def srp_banded_buckets(
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     )
-    return counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+    # consumers self-join this table: materialize lazily (first action) so
+    # the signature + window plan runs once, not once per join branch —
+    # same shape as dedup.lsh_candidate_pairs; at cluster scale this is the
+    # bucket table you write out and partition by (band, bucket)
+    return (
+        counted.where(F.col("bucket_n") <= MAX_BUCKET)
+        .drop("bucket_n")
+        .localCheckpoint(eager=False)
+    )
 
 
 def srp_candidate_pairs(
