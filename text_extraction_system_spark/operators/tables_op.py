@@ -89,17 +89,29 @@ def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "n_rows", "n_cols", "n_cells", "data",
     ]
     for pdf in it:
-        rows: list[dict] = []
+        # columnar accumulation: building a DataFrame from a list of dicts
+        # re-dispatches per cell; per-column lists stay O(rows) appends
+        out: dict[str, list] = {k: [] for k in cols}
         for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
-            rows.extend(detect_tables_for_ref(doc_id, ref))
-        yield pd.DataFrame(rows, columns=cols)
+            for t in detect_tables_for_ref(doc_id, ref):
+                for k in cols:
+                    out[k].append(t[k])
+        yield pd.DataFrame(out, columns=cols)
 
 
 def detect_tables(docs: DataFrame) -> DataFrame:
-    """One row per detected table over all media spans of the corpus."""
+    """One row per detected table over all media spans of the corpus.
+
+    The media-ref rows are rebalanced across all cores before the Arrow
+    stage: the stage is CPU-bound python (numpy clustering per ref), and a
+    small parquet input bin-packs into a handful of scan splits that would
+    otherwise serialize it. The shuffled rows are two thin strings — cheap
+    relative to the compute they unlock (also the right shape at scale:
+    detection cost is per media ref, not per input byte)."""
     spans = ds.derive_spans(docs)
     media = spans.select(
         "doc_id",
         F.explode(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).alias("s"),
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
-    return media.mapInPandas(_batches, schema=TABLE_ROWS_SCHEMA)
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(parallelism).mapInPandas(_batches, schema=TABLE_ROWS_SCHEMA)
