@@ -54,7 +54,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
+    # size scan splits for the bench corpora: the sf0.1 tables are a few MB
+    # each and bin-pack into 1-2 default 128 MB splits, silently serializing
+    # every CPU-bound stage that inherits scan partitioning (see BENCH.md);
+    # at real data volumes the default split size is correct
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(1 << 20),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
     qs = entrymod.queries()
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
