@@ -92,6 +92,16 @@ def test_ann_query_side_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_filter_pushdown_reaches_scan(spark):
+    """A doc_id predicate must reach the parquet reader as PushedFilters —
+    partition/row-group pruning is what makes selective reads cheap at
+    100 TB."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id = 42")
+    plan = _plan(ds.derive_spans(docs))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "doc_id" in pushed and "42" in pushed, pushed
+
+
 def test_ivf_topk_shape_and_plan(spark):
     """IVF ANN: query side broadcasts, probes are distinct cells (no pair
     scored twice), ranks are dense 1..k per query."""

@@ -143,3 +143,28 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     got = spark.read.parquet(out_dir).collect()
     texts = sorted(r["text"] for r in got)
     assert texts == ["alpha", "beta", "delta", "gamma"]
+
+
+def test_extraction_stream_incremental_exactly_once(spark, tmp_path):
+    """Two AvailableNow drains over a growing input directory with a shared
+    checkpoint: the second run processes ONLY the new file, and the union of
+    both outputs covers every doc exactly once (exactly-once file sink)."""
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "inc_in"), str(tmp_path / "inc_ckpt"), str(tmp_path / "inc_out")
+    )
+    full = synth.corpus_df(spark)
+    n = full.count()
+    full.limit(n // 2).write.mode("append").parquet(in_dir)
+    jobs.run_extraction_stream(spark, in_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir).count()
+    assert first == n // 2
+
+    # drop the remaining docs and drain again from the same checkpoint
+    first_ids = {r["doc_id"] for r in full.limit(n // 2).select("doc_id").collect()}
+    rest = full.where(~full.doc_id.isin(first_ids))
+    rest.write.mode("append").parquet(in_dir)
+    jobs.run_extraction_stream(spark, in_dir, out_dir, ckpt)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
