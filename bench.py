@@ -27,6 +27,9 @@ HEADLINE = [
     "ocr_route",
     "rotation",
     "deskew",
+    "sections_toc",
+    "text_coords",
+    "coords_text",
     "media_decode",
     "boilerplate",
     "tables",

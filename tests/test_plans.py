@@ -151,3 +151,21 @@ def test_srp_candidates_subset_of_all_pairs_and_verified(spark):
     assert len(seen) == len(pairs)  # no duplicate pairs from the band union
     assert all(r["cosine"] >= 0.3 for r in pairs)
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ivf_training_descends(spark):
+    """One distributed Lloyd step over hash-initialized centroids must not
+    increase the assignment inertia (and on real data it strictly
+    decreases) — the genuine IVF training path, all DataFrame aggregations."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c0 = similarity.ivf_centroid_values(64, 8)
+    i0 = similarity.ivf_inertia(emb, c0)
+    c1 = similarity.ivf_train_step(emb, c0)
+    i1 = similarity.ivf_inertia(emb, c1)
+    c2 = similarity.ivf_train_step(emb, c1)
+    i2 = similarity.ivf_inertia(emb, c2)
+    assert i1 < i0
+    assert i2 <= i1 + 1e-9
+    assert len(c1) == 8 and all(len(v) == 64 for v in c1)

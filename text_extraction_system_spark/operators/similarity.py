@@ -383,3 +383,73 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ivf_train_step(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """One distributed Lloyd iteration: assign every vector to its nearest
+    centroid (same narrow per-row expression as ivf_topk), then recompute
+    each centroid as the mean of its members — the real IVF training path,
+    entirely as DataFrame aggregations (posexplode to (cell, dim, value),
+    one groupBy; no vectors ever reach the driver, only the k x dim means).
+
+    Returns the updated centroid list (empty cells keep their previous
+    centroid, the standard k-means convention). Training is float-order
+    dependent (avg of floats), so trained IVF is pytest-verified by inertia
+    descent rather than by the bit-exact oracle, which pins the untrained
+    hash-centroid variant."""
+    k = len(centroids)
+    cells_lit = F.array(
+        *[
+            F.struct(
+                F.lit(sum(v * v for v in cv)).alias("c2"),
+                F.array(*[F.lit(v) for v in cv]).cast("array<double>").alias("cv"),
+            )
+            for cv in centroids
+        ]
+    )
+    assigned = embeddings.select(
+        ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    means = (
+        assigned.groupBy("cell", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()  # k*dim tiny rows
+    )
+    out = [list(cv) for cv in centroids]
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = float(r["m"])
+    for cell, dims in by_cell.items():
+        out[cell] = [dims.get(j, out[cell][j]) for j in range(dim)]
+    return out
+
+
+def ivf_inertia(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean distance proxy (|c|^2 - 2 x.c) to the assigned centroid — a
+    monotone stand-in for k-means inertia, enough to verify descent."""
+    cells_lit = F.array(
+        *[
+            F.struct(
+                F.lit(sum(v * v for v in cv)).alias("c2"),
+                F.array(*[F.lit(v) for v in cv]).cast("array<double>").alias("cv"),
+            )
+            for cv in centroids
+        ]
+    )
+    return (
+        embeddings.select(
+            F.array_min(ivf_dists_col(F.col(vec_col), cells_lit)).alias("d")
+        )
+        .agg(F.avg("d"))
+        .collect()[0][0]
+    )
