@@ -375,6 +375,13 @@ def _q_coords_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coords.coords_to_text(res)
 
 
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (library-free, no stub): normalized
+    high-nibble byte histogram per media payload through Arrow binary
+    batches — the fixed-function stand-in for a CNN embedding."""
+    return multimodal.extract_features(_docs(spark, sf_dir))
+
+
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: per-row nearest-centroid assignment (the
     materialize-and-partition-by column at 10^12 rows), queries scan their
@@ -467,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_coords": _q_text_coords,
         "coords_text": _q_coords_text,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "media_features": _q_media_features,
     }
 
 
@@ -1145,6 +1153,23 @@ WITH p AS (
 )
 SELECT * FROM gout UNION ALL SELECT * FROM tout
 """
+
+    # media feature twin: payload = md5 digest bytes repeated k times, so the
+    # normalized high-nibble histogram equals (count of odd-position md5 hex
+    # chars == digit b) / 16 — exact dyadics, bit-identical across engines
+    # ((c*k)/(16k) float-divides to the correctly-rounded c/16 both sides)
+    sql["media_features"] = (
+        _SQL_SPANS_CTE
+        + f"""
+SELECT doc_id, media_ref,
+  list_transform(range({multimodal.FEATURE_DIM}), b ->
+    CAST(len(list_filter(range(16), j ->
+      substr(md5(media_ref), CAST(2 * j + 1 AS INT), 1)
+        = substr('{_HEX}', CAST(b + 1 AS INT), 1))) AS DOUBLE) / 16.0e0
+  ) AS feature
+FROM spans WHERE kind = 'media'
+"""
+    )
 
     sql["media_decode"] = (
         _SQL_SPANS_CTE

@@ -1,0 +1,60 @@
+"""Multimodal binary-column plumbing: decode metadata, feature extraction,
+resize and frame sampling — Arrow binary batches with real schemas and batch
+shapes (pixel kernels are deterministic fakes; see operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from text_extraction_system_spark.operators import multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+
+
+def test_payload_matches_spec(spark):
+    rows = multimodal.media_table(_docs(spark)).limit(5).collect()
+    assert rows
+    for r in rows:
+        digest = hashlib.md5(r["media_ref"].encode()).digest()
+        k = int(hashlib.md5(r["media_ref"].encode()).hexdigest()[0], 16) + 1
+        assert bytes(r["payload"]) == digest * k
+
+
+def test_feature_histogram_properties(spark):
+    rows = multimodal.extract_features(_docs(spark)).collect()
+    assert rows
+    for r in rows:
+        f = r["feature"]
+        assert len(f) == multimodal.FEATURE_DIM
+        assert abs(sum(f) - 1.0) < 1e-9          # normalized histogram
+        assert all(v >= 0.0 for v in f)
+        # repetition-invariance: histogram of the digest alone is identical
+        digest = hashlib.md5(r["media_ref"].encode()).digest()
+        exp = [sum(1 for b in digest if b >> 4 == i) / 16.0 for i in range(16)]
+        assert f == exp
+
+
+def test_resize_plumbing(spark):
+    rows = multimodal.resize_media(_docs(spark), target=32).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == 32 and r["height"] == 32
+        assert len(bytes(r["payload"])) == 32
+
+
+def test_frame_sampling_fanout(spark):
+    rows = multimodal.sample_frames(_docs(spark), every=2).collect()
+    assert rows
+    by_ref: dict[str, list] = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, frames in by_ref.items():
+        k = int(hashlib.md5(ref.encode()).hexdigest()[0], 16) + 1
+        assert sorted(f["frame_idx"] for f in frames) == list(range(0, k, 2))
+        assert all(len(bytes(f["frame"])) == multimodal.FRAME_BYTES for f in frames)
+        digest = hashlib.md5(ref.encode()).digest()
+        assert all(bytes(f["frame"]) == digest for f in frames)  # fake payload = digest*k
