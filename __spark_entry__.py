@@ -24,6 +24,7 @@ from text_extraction_system_spark.operators import (
     boilerplate,
     coords,
     corpus_synth,
+    curation,
     dedup,
     events,
     multimodal,
@@ -375,6 +376,13 @@ def _q_coords_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coords.coords_to_text(res)
 
 
+def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data composition end-to-end: language gate -> quality
+    gate -> token budget -> exact dedup -> per-source funnel report, all
+    signals in one narrow pass (operators/curation.py)."""
+    return curation.funnel(_docs(spark, sf_dir))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (library-free, no stub): normalized
     high-nibble byte histogram per media payload through Arrow binary
@@ -475,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coords_text": _q_coords_text,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
+        "curation_funnel": _q_curation_funnel,
     }
 
 
@@ -717,6 +726,63 @@ SELECT doc_id, n_words,
          + (1.0 - least(1.0, (n_punct / greatest(n_chars, 1)) * 10)) * 0.2
        END AS quality_score
 FROM q
+"""
+
+    # curation funnel: same language/quality/token expressions as their
+    # standalone twins, composed; the quality threshold compares bit-equal
+    # doubles so the gate is deterministic across engines
+    sql["curation_funnel"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, lang, text, {toks} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, lang AS declared_lang,
+    {_sql_lang('text')} AS language,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) < {spec.QUALITY_MIN_WORDS} THEN 0.0e0 ELSE
+      least(1.0e0, len(toks) / 100.0e0) * 0.5e0
+      + least(1.0e0, (len(list_filter(toks, x -> list_contains({sw_lit}, x)))
+                      / greatest(len(toks), 1)) * 5) * 0.3e0
+      + (1.0e0 - least(1.0e0,
+          ((length(text) - length(regexp_replace(text, '{punct_re}', '', 'g')))
+           / greatest(length(text), 1)) * 10)) * 0.2e0
+    END AS quality_score,
+    md5(text) AS content_hash
+  FROM t
+),
+f AS (
+  SELECT *,
+    (declared_lang = '{curation.KEEP_LANG}' AND language = '{curation.KEEP_LANG}')
+      AS lang_ok,
+    (quality_score >= {curation.MIN_QUALITY}e0) AS q_ok,
+    (n_tokens BETWEEN {curation.MIN_TOKENS} AND {curation.MAX_TOKENS}) AS tok_ok
+  FROM m
+),
+kept AS (SELECT * FROM f WHERE lang_ok AND q_ok AND tok_ok),
+canon AS (SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY content_hash),
+surv AS (
+  SELECT k.source, k.n_tokens FROM kept k JOIN canon c
+  ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id
+),
+stages AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_input,
+    CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+    CAST(sum(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+    CAST(sum(CASE WHEN lang_ok AND q_ok AND tok_ok THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tokens_ok
+  FROM f GROUP BY source
+),
+sv AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_deduped,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+  FROM surv GROUP BY source
+)
+SELECT s.source, s.n_input, s.n_lang, s.n_quality, s.n_tokens_ok,
+       coalesce(v.n_deduped, 0) AS n_deduped,
+       coalesce(v.tokens_kept, 0) AS tokens_kept
+FROM stages s LEFT JOIN sv v ON s.source = v.source
 """
 
     sql["fingerprint"] = f"""

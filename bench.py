@@ -38,6 +38,8 @@ HEADLINE = [
     "fingerprint",
     "simhash",
     "exact_dedup",
+    "curation_funnel",
+    "media_features",
     "near_dup_pairs",
     "ann_topk",
     "ann_lsh_topk",

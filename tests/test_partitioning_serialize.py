@@ -88,3 +88,25 @@ def test_msgpack_sink_runs(spark, tmp_path):
         blob = r["structure_msgpack"]
         assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
         assert blob[0] & 0xF0 == 0x80  # fixmap: the DTO is a small dict
+
+
+def test_curation_funnel_monotone(spark):
+    """Funnel counts are monotone per source, and the dedup stage never
+    exceeds the token gate; dedup keeps exactly one doc per content hash."""
+    from text_extraction_system_spark.operators import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # inject an exact duplicate so the dedup stage actually cuts
+    from pyspark.sql import functions as F
+
+    dup = docs.limit(1).select((F.col("doc_id") + 100000).alias("doc_id"),
+                               "text", "lang", "source", "n_chars")
+    rows = curation.funnel(docs.unionByName(dup.select(docs.columns))).collect()
+    assert rows
+    total_kept = 0
+    for r in rows:
+        assert r["n_input"] >= r["n_lang"] >= r["n_quality"] >= r["n_tokens_ok"] >= r["n_deduped"]
+        total_kept += r["n_deduped"]
+    full = curation.funnel(docs).agg({"n_deduped": "sum"}).collect()[0][0]
+    # the duplicate (if its original survives the gates) must not add a doc
+    assert total_kept == full

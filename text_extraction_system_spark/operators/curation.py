@@ -1,0 +1,91 @@
+"""Training-data curation funnel — the composition the individual operators
+exist for: language gate -> quality gate -> token budget -> exact dedup ->
+per-source accounting. One narrow pass computes every per-doc signal
+(Catalyst expressions shared with the lang_id / quality / token_count /
+exact_dedup operators), then two small aggregates produce the funnel report.
+
+Scale shape: signals are per-row expressions over the scan (no shuffle);
+the only shuffles are the content-hash canonicalization (hash keys, uniform)
+and the per-source rollup (tiny). Conditional aggregation gives every funnel
+stage's count in the same pass — no per-stage jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import textstats
+
+KEEP_LANG = "en"
+MIN_QUALITY = 0.3
+MIN_TOKENS = 20
+MAX_TOKENS = 80
+
+
+def doc_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc curation signals in one narrow projection."""
+    q = textstats.quality_cols(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.col("lang").alias("declared_lang"),
+        textstats.detect_language_col(F.col("text")).alias("language"),
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+def funnel(
+    docs: DataFrame,
+    lang: str = KEEP_LANG,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+) -> DataFrame:
+    """Per-source funnel report: docs entering, surviving each gate in
+    sequence, surviving exact dedup, and the token budget kept."""
+    s = doc_signals(docs)
+    # language-agreement gate: declared metadata AND content detection must
+    # both name the target language — docs whose label disagrees with their
+    # content are the classic mislabeled-crawl noise a curation pass drops
+    flagged = s.select(
+        "*",
+        ((F.col("declared_lang") == lang) & (F.col("language") == lang)).alias(
+            "lang_ok"
+        ),
+        (F.col("quality_score") >= min_quality).alias("q_ok"),
+        F.col("n_tokens").between(min_tokens, max_tokens).alias("tok_ok"),
+    )
+    kept = flagged.where("lang_ok AND q_ok AND tok_ok")
+    canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(canon, ["content_hash", "doc_id"])
+
+    stages = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0)).alias(
+            "n_quality"
+        ),
+        F.sum(
+            F.when(F.col("lang_ok") & F.col("q_ok") & F.col("tok_ok"), 1).otherwise(0)
+        ).alias("n_tokens_ok"),
+    )
+    survived = surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_deduped"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        stages.join(survived, "source", "left")
+        .na.fill({"n_deduped": 0, "tokens_kept": 0})
+        .select(
+            "source",
+            "n_input",
+            "n_lang",
+            "n_quality",
+            "n_tokens_ok",
+            "n_deduped",
+            "tokens_kept",
+        )
+    )
