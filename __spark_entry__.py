@@ -34,7 +34,7 @@ from text_extraction_system_spark.operators import (
     similarity,
     textstats,
 )
-from text_extraction_system_spark.operators import deskew_op, toc
+from text_extraction_system_spark.operators import deskew_op, readorder_op, toc
 from text_extraction_system_spark.operators import structure as structure_op
 
 _HEX = "0123456789abcdef"
@@ -376,6 +376,13 @@ def _q_coords_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coords.coords_to_text(res)
 
 
+def _q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column + reading-order reconstruction (north_star layout parse):
+    md5-scrambled word boxes on 1-3-column synthetic pages; the x-projection
+    cut must recover the columns and the exact original token sequence."""
+    return readorder_op.reading_order_query(spark, sf_dir)
+
+
 def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data composition end-to-end: language gate -> quality
     gate -> token budget -> exact dedup -> per-source funnel report, all
@@ -484,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
         "curation_funnel": _q_curation_funnel,
+        "reading_order": _q_reading_order,
     }
 
 
@@ -726,6 +734,28 @@ SELECT doc_id, n_words,
          + (1.0 - least(1.0, (n_punct / greatest(n_chars, 1)) * 10)) * 0.2
        END AS quality_score
 FROM q
+"""
+
+    # reading order: the oracle is token-order equality — the engine gets the
+    # word boxes SCRAMBLED, so only a correct column reconstruction can
+    # reproduce array_to_string(toks). Detected column count equals the
+    # rendered count: ceil(total_lines / ceil(total_lines / n_cols_hash)).
+    sql["reading_order"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {toks} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    1 + (strpos('{_HEX}', substr(md5('cols:' || doc_id), 1, 1)) - 1) % 3 AS n_cols
+  FROM t
+)
+SELECT doc_id,
+  array_to_string(toks, ' ') AS reconstructed,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE
+    ceil(ceil(n / {readorder_op.WORDS_PER_LINE}.0)
+         / ceil(ceil(n / {readorder_op.WORDS_PER_LINE}.0) / n_cols))
+  END AS INT) AS n_columns
+FROM m
 """
 
     # curation funnel: same language/quality/token expressions as their

@@ -27,6 +27,7 @@ HEADLINE = [
     "ocr_route",
     "rotation",
     "deskew",
+    "reading_order",
     "sections_toc",
     "text_coords",
     "coords_text",

@@ -1,0 +1,126 @@
+"""Reading-order reconstruction over multi-column word-box pages
+(north_star "column and reading-order reconstruction"; SURVEY.md layout
+parse — Java sortByPosition / processPage visual re-sort analog).
+
+Deterministic synthetic layout (the sandbox stand-in for the glyph boxes a
+PDF parser emits): each doc's tokens are typeset 4 words per line on a
+1-3-column page (column count from md5), columns filled top-to-bottom then
+left-to-right — and the rows are handed to the operator in a SCRAMBLED,
+md5-keyed order, so the only way to reproduce the original token sequence is
+to actually reconstruct the columns geometrically. The oracle is therefore
+brutal and simple: reconstructed text must equal the token stream.
+
+Scale shape: the layout synthesis is pure Catalyst; the reconstruction is
+one hash shuffle grouping a page's words plus an Arrow-batched UDF around
+core.readorder (numpy x-projection cut). No driver-side state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core import readorder
+from . import textstats
+from .exprutil import let
+
+_HEX = "0123456789abcdef"
+
+WORDS_PER_LINE = 4
+LINE_H = 20
+CHAR_W = 8
+
+_OUT = "doc_id string, reconstructed string, n_columns int"
+
+
+def synth_word_boxes(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, x, y, w, h) rows in md5-scrambled order.
+
+    Layout: line(i) = i//4; columns split the line range evenly
+    (lines_per_col = ceil(total_lines/n_cols)); per-doc column pitch =
+    32*(max_word_len+1) + 40, so the inter-column gap always exceeds the
+    intra-line word gap (8 px) by more than COLUMN_GAP_MIN."""
+    docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    doc_id = F.col("doc_id")
+    h = F.md5(F.concat(F.lit("cols:"), doc_id))
+    n_cols = 1 + (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) % 3
+
+    def boxes_of(toks: Column) -> Column:
+        n = F.size(toks)
+        total_lines = F.ceil(n / WORDS_PER_LINE).cast("int")
+        lines_per_col = F.ceil(total_lines / n_cols).cast("int")
+        max_len = F.array_max(F.transform(toks, F.length))
+        pitch = (WORDS_PER_LINE * CHAR_W) * (max_len + 1) + 40
+
+        def box(i: Column) -> Column:
+            line = F.floor(i / WORDS_PER_LINE).cast("int")
+            k = i % WORDS_PER_LINE  # index within the line
+            prev = F.slice(toks, line * WORDS_PER_LINE + 1, k)
+            x_in_line = F.aggregate(
+                prev, F.lit(0), lambda a, t: a + CHAR_W * (F.length(t) + 1)
+            )
+            col = F.floor(line / lines_per_col).cast("int")
+            word = F.element_at(toks, i + 1)
+            return F.struct(
+                word.alias("word"),
+                (col * pitch + x_in_line).cast("double").alias("x"),
+                ((line % lines_per_col) * LINE_H).cast("double").alias("y"),
+                (CHAR_W * F.length(word)).cast("double").alias("w"),
+                F.lit(float(LINE_H)).alias("h"),
+                F.md5(F.concat(doc_id, F.lit(":"), i.cast("string"))).alias("shuf"),
+            )
+
+        idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_sort(  # scrambled: sorted by the md5 shuffle key
+            F.transform(idx, box), lambda a, b: F.when(a["shuf"] < b["shuf"], -1)
+            .when(a["shuf"] > b["shuf"], 1)
+            .otherwise(0),
+        )
+
+    rows = docs.select(
+        "doc_id",
+        F.explode(let(textstats.tokens_col(F.col("text")), boxes_of)).alias("b"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("b.word").alias("word"),
+        F.col("b.x").alias("x"),
+        F.col("b.y").alias("y"),
+        F.col("b.w").alias("w"),
+        F.col("b.h").alias("h"),
+    )
+
+
+def reconstruct_reading_order(word_boxes: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, word, x, y, w, h) rows -> (key, reconstructed, n_columns):
+    column detection + visual ordering per page via core.readorder."""
+
+    def batch(words: pd.Series, xs: pd.Series, ys: pd.Series, ws: pd.Series) -> pd.DataFrame:
+        out = {"reconstructed": [], "n_columns": []}
+        for wd, x, y, w in zip(words, xs, ys, ws):
+            x = np.asarray(x, dtype=np.float64)
+            y = np.asarray(y, dtype=np.float64)
+            w = np.asarray(w, dtype=np.float64)
+            order = readorder.reading_order(x, y, w)
+            out["reconstructed"].append(" ".join(np.asarray(wd, dtype=object)[order]))
+            out["n_columns"].append(readorder.n_columns(x, w))
+        return pd.DataFrame(out)
+
+    udf = F.pandas_udf(batch, "struct<reconstructed:string,n_columns:int>")
+    agg = word_boxes.groupBy(key).agg(
+        F.collect_list("word").alias("words"),
+        F.collect_list("x").alias("xs"),
+        F.collect_list("y").alias("ys"),
+        F.collect_list("w").alias("ws"),
+    )
+    res = agg.select(key, udf("words", "xs", "ys", "ws").alias("r"))
+    return res.select(key, "r.reconstructed", "r.n_columns")
+
+
+def reading_order_query(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return reconstruct_reading_order(synth_word_boxes(docs))
