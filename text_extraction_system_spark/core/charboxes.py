@@ -23,19 +23,29 @@ CHAR_H = 16.0
 
 
 def char_boxes_page(page_text: str) -> np.ndarray:
-    """(len(page_text), 4) float32 boxes for one page's text."""
-    out = np.zeros((len(page_text), 4), dtype=np.float32)
-    line = 0
-    col = 0
-    for i, ch in enumerate(page_text):
-        if ch == "\n":
-            line += 1
-            col = 0
-        elif ch == "\f":
-            pass  # zero box, page end
-        else:
-            out[i] = (CHAR_W * col, CHAR_H * line, CHAR_W, CHAR_H)
-            col += 1
+    """(len(page_text), 4) float32 boxes for one page's text.
+
+    Vectorized (UTF-32 codepoint array + cumulative sums): the previous
+    per-character python loop dominated the coordinate queries — ~2 chars of
+    python-loop work per corpus char across the coordinate operators."""
+    n = len(page_text)
+    out = np.zeros((n, 4), dtype=np.float32)
+    if n == 0:
+        return out
+    codes = np.frombuffer(page_text.encode("utf-32-le"), dtype=np.uint32)
+    nl = codes == 10   # '\n' advances the line and resets the column
+    ff = codes == 12   # '\f' page end: zero box, no column advance
+    printable = ~(nl | ff)
+    line = np.cumsum(nl) - nl  # line of each char (exclusive of itself)
+    c = np.cumsum(printable)
+    col_excl = c - printable   # printable chars in [0, i)
+    nl_pos = np.flatnonzero(nl)
+    line_base = np.concatenate(([0], c[nl_pos]))  # printable count at line start
+    col = col_excl - line_base[line]
+    out[printable, 0] = CHAR_W * col[printable]
+    out[printable, 1] = CHAR_H * line[printable]
+    out[printable, 2] = CHAR_W
+    out[printable, 3] = CHAR_H
     return out
 
 

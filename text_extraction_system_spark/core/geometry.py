@@ -61,7 +61,28 @@ def line_areas(boxes: np.ndarray, start: int, end: int,
                v_tol: float = 2.0) -> list[tuple[float, float, float, float]]:
     """Merged per-line rectangles of the char span [start, end): consecutive
     chars whose vertical positions agree within ``v_tol`` extend the current
-    line rect; zero-size separator boxes are skipped."""
+    line rect; zero-size separator boxes are skipped.
+
+    Fast path: when every printable char in the span sits at ONE y (a span
+    within a single text line — the overwhelmingly common case, and always
+    true for paragraph spans of the monospace layout), the merged rect is a
+    single vectorized min/max. The general accumulating-rect loop remains
+    for multi-line spans (its merge rule compares against the rect's min-y,
+    which is not expressible as a compare-to-previous scan)."""
+    seg = np.asarray(boxes[start:end], dtype=np.float64)
+    if len(seg):
+        pr = (seg[:, 2] > 0) & (seg[:, 3] > 0)
+        if pr.any():
+            ys = seg[pr, 1]
+            if (ys == ys[0]).all():
+                xs0 = seg[pr, 0]
+                x1 = (seg[pr, 0] + seg[pr, 2]).max()
+                y1 = (seg[pr, 1] + seg[pr, 3]).max()
+                x0 = xs0.min()
+                y0 = ys.min()
+                return [(float(x0), float(y0), float(x1 - x0), float(y1 - y0))]
+        else:
+            return []
     out: list[list[float]] = []
     for i in range(start, end):
         x, y, w, h = boxes[i]
