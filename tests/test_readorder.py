@@ -70,3 +70,45 @@ def test_operator_recovers_scrambled_tokens(spark):
         assert 1 <= ncols <= 3
         n_multi += ncols > 1
     assert n_multi > 0  # the corpus actually exercises multi-column pages
+
+
+def test_reading_order_roundtrip_random_layouts():
+    """Property: for ANY words typeset with the layout rules (n columns,
+    4 words/line, pitch > max line width + gap), reconstruction recovers the
+    exact word sequence — including degenerate cases the corpus never hits
+    (1 word, exactly one line per column, max-length words)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+                 min_size=1, max_size=120),
+        st.integers(min_value=1, max_value=4),
+        st.randoms(),
+    )
+    def run(words, n_cols, rng):
+        wpl, char_w, line_h = 4, 8, 20
+        max_len = max(len(w) for w in words)
+        pitch = wpl * char_w * (max_len + 1) + 40
+        total_lines = -(-len(words) // wpl)
+        lpc = -(-total_lines // n_cols)
+        xs, ys, ws = [], [], []
+        for i, w in enumerate(words):
+            line, k = divmod(i, wpl)
+            col, row = divmod(line, lpc)
+            x_in = sum(char_w * (len(words[line * wpl + j]) + 1) for j in range(k))
+            xs.append(float(col * pitch + x_in))
+            ys.append(float(row * line_h))
+            ws.append(float(char_w * len(w)))
+        order = list(range(len(words)))
+        rng.shuffle(order)
+        xs2 = np.array([xs[i] for i in order])
+        ys2 = np.array([ys[i] for i in order])
+        ws2 = np.array([ws[i] for i in order])
+        wd2 = [words[i] for i in order]
+        perm = R.reading_order(xs2, ys2, ws2)
+        assert [wd2[i] for i in perm] == words
+        assert R.n_columns(xs2, ws2) == -(-total_lines // lpc)
+
+    run()
