@@ -63,23 +63,22 @@ def synth_word_boxes(docs: DataFrame) -> DataFrame:
             )
             col = F.floor(line / lines_per_col).cast("int")
             word = F.element_at(toks, i + 1)
+            # shuffle key FIRST: array_sort on struct arrays orders by the
+            # first field, avoiding an interpreted comparator lambda (the
+            # same trick as restitch's ordered gather)
             return F.struct(
+                F.md5(F.concat(doc_id, F.lit(":"), i.cast("string"))).alias("shuf"),
                 word.alias("word"),
                 (col * pitch + x_in_line).cast("double").alias("x"),
                 ((line % lines_per_col) * LINE_H).cast("double").alias("y"),
                 (CHAR_W * F.length(word)).cast("double").alias("w"),
                 F.lit(float(LINE_H)).alias("h"),
-                F.md5(F.concat(doc_id, F.lit(":"), i.cast("string"))).alias("shuf"),
             )
 
         idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
             F.array().cast("array<int>")
         )
-        return F.array_sort(  # scrambled: sorted by the md5 shuffle key
-            F.transform(idx, box), lambda a, b: F.when(a["shuf"] < b["shuf"], -1)
-            .when(a["shuf"] > b["shuf"], 1)
-            .otherwise(0),
-        )
+        return F.array_sort(F.transform(idx, box))  # scrambled by md5 key
 
     rows = docs.select(
         "doc_id",
