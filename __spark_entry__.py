@@ -570,12 +570,20 @@ spans AS (
 
 _SQL_COVERS_CTE = f"""
 covers AS (
-  SELECT doc_id,
-         sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END) AS text_cover,
-         sum(CASE WHEN kind = 'media'
-             THEN strpos('{_HEX}', substr(md5(media_ref), 1, 1)) * {spec.MEDIA_AREA_UNIT}
-             ELSE 0 END) AS media_cover
-  FROM spans GROUP BY doc_id
+  -- LEFT JOIN from documents: a zero-span doc (empty/whitespace text) still
+  -- gets a (0, 0, false) row, matching the engine's per-doc array aggregate
+  SELECT d.doc_id,
+         coalesce(sp.text_cover, 0) AS text_cover,
+         coalesce(sp.media_cover, 0) AS media_cover
+  FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+  LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END) AS text_cover,
+           sum(CASE WHEN kind = 'media'
+               THEN strpos('{_HEX}', substr(md5(media_ref), 1, 1)) * {spec.MEDIA_AREA_UNIT}
+               ELSE 0 END) AS media_cover
+    FROM spans GROUP BY doc_id
+  ) sp ON d.doc_id = sp.doc_id
 ),
 needs AS (
   SELECT doc_id, text_cover, media_cover,
@@ -606,7 +614,7 @@ _SQL_PAGES_CTE = (
     + f""",
 pagetext AS (
   SELECT doc_id, span_offset // {spec.PAGE_SPANS} AS page_number,
-         coalesce(array_to_string(list_filter(list(text ORDER BY span_offset), t -> t != ''), chr(10)), '')
+         replace(coalesce(array_to_string(list_filter(list(text ORDER BY span_offset), t -> t != ''), chr(10)), ''), chr(0), '')
            || chr(10) || chr(12) AS ptext
   FROM outspans GROUP BY doc_id, span_offset // {spec.PAGE_SPANS}
 ),
@@ -671,12 +679,17 @@ LEFT JOIN (
         _SQL_PAGES_CTE
         + f""",
 contrib AS (
-  SELECT o.doc_id, o.span_offset, o.text,
+  -- raw-non-empty spans own the separator slots (the engine filters before
+  -- the F5 NUL scrub), but lengths/offsets/language use the SCRUBBED text,
+  -- matching the assembled plain text; a NUL-only span keeps its slot (k)
+  -- yet contributes no paragraph (filtered below)
+  SELECT o.doc_id, o.span_offset,
+         replace(o.text, chr(0), '') AS text,
          o.span_offset // {spec.PAGE_SPANS} AS page_number,
          CAST(row_number() OVER (
            PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
            ORDER BY o.span_offset) - 1 AS BIGINT) AS k,
-         CAST(coalesce(sum(length(o.text)) OVER (
+         CAST(coalesce(sum(length(replace(o.text, chr(0), ''))) OVER (
            PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
            ORDER BY o.span_offset
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_len
@@ -688,6 +701,7 @@ SELECT c.doc_id,
        {_sql_lang('c.text')} AS language
 FROM contrib c
 JOIN pagebounds pb ON c.doc_id = pb.doc_id AND c.page_number = pb.page_number
+WHERE c.text != ''
 """
     )
 
@@ -751,11 +765,11 @@ m AS (
 )
 SELECT doc_id,
   array_to_string(toks, ' ') AS reconstructed,
-  CAST(CASE WHEN n = 0 THEN 0 ELSE
-    ceil(ceil(n / {readorder_op.WORDS_PER_LINE}.0)
-         / ceil(ceil(n / {readorder_op.WORDS_PER_LINE}.0) / n_cols))
-  END AS INT) AS n_columns
+  CAST(ceil(ceil(n / {readorder_op.WORDS_PER_LINE}.0)
+       / ceil(ceil(n / {readorder_op.WORDS_PER_LINE}.0) / n_cols)) AS INT)
+    AS n_columns
 FROM m
+WHERE n > 0  -- zero-token docs emit no word boxes, hence no engine row
 """
 
     # curation funnel: same language/quality/token expressions as their
@@ -855,12 +869,15 @@ FROM documents GROUP BY md5(text)
         _SQL_PAGES_CTE
         + f""",
 contrib AS (
-  SELECT o.doc_id, o.span_offset, o.text,
+  -- same slot/scrub convention as the paragraphs oracle: raw-non-empty
+  -- spans own the separator slots, offsets/lengths use the F5-scrubbed text
+  SELECT o.doc_id, o.span_offset,
+         replace(o.text, chr(0), '') AS text,
          o.span_offset // {spec.PAGE_SPANS} AS page_number,
          CAST(row_number() OVER (
            PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
            ORDER BY o.span_offset) - 1 AS BIGINT) AS k,
-         CAST(coalesce(sum(length(o.text)) OVER (
+         CAST(coalesce(sum(length(replace(o.text, chr(0), ''))) OVER (
            PARTITION BY o.doc_id, o.span_offset // {spec.PAGE_SPANS}
            ORDER BY o.span_offset
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_len
@@ -891,6 +908,9 @@ FROM sents WHERE length(s.sent_text) > 0
 
     # near-dup pairs: shingle -> salted-md5 minhash -> banded LSH bucket join
     # -> exact Jaccard verify (mirrors operators/dedup.py incl. MAX_BUCKET)
+    _shingle_concat = " || ' ' || ".join(
+        f"ws[i+{j + 1}]" for j in range(spec.SHINGLE_K)
+    )
     sql["near_dup_pairs"] = f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -900,7 +920,7 @@ WITH t AS (
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(len(ws) - {spec.SHINGLE_K - 1}),
-           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS shingles
+           i -> {_shingle_concat})) AS shingles
   FROM t WHERE len(ws) >= {spec.SHINGLE_K}
 ),
 mh AS (
@@ -921,7 +941,7 @@ bands AS (
 counted AS (
   SELECT *, count(*) OVER (PARTITION BY b, band_sig) AS bucket_n FROM bands
 ),
-kept AS (SELECT * FROM counted WHERE bucket_n <= 64),
+kept AS (SELECT * FROM counted WHERE bucket_n <= {dedup.MAX_BUCKET}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
   FROM kept a JOIN kept b2 ON a.b = b2.b AND a.band_sig = b2.band_sig
@@ -1309,12 +1329,16 @@ html AS (
          || '{corpus_synth.AD_LINE}' || chr(10) || '{corpus_synth.FOOTER_LINE}' AS html
   FROM chunks GROUP BY doc_id
 )
-SELECT doc_id,
-       array_to_string(list_transform(
-         list_filter(list_filter(string_split(html, chr(10)), b -> trim(b) != ''),
+SELECT s.doc_id,
+       coalesce(array_to_string(list_transform(
+         list_filter(list_filter(string_split(
+           coalesce(h.html,
+             '{corpus_synth.NAV_LINE}' || chr(10)
+             || '{corpus_synth.AD_LINE}' || chr(10) || '{corpus_synth.FOOTER_LINE}'
+           ), chr(10)), b -> trim(b) != ''),
                      b -> {_keep}),
-         b -> {_strip}), chr(10)) AS main_text
-FROM html
+         b -> {_strip}), chr(10)), '') AS main_text
+FROM src s LEFT JOIN html h ON s.doc_id = h.doc_id
 """
 
     _head_pat = r"'^(\d+(?:\.\d+)*)\.?\s+(\S.*)$'"
@@ -1370,11 +1394,14 @@ pairs AS (
   SELECT DISTINCT a.vid AS id_a, a.vec AS va, c.vid AS id_b, c.vec AS vb
   FROM kept a JOIN kept c ON a.band = c.band AND a.bucket = c.bucket
   WHERE a.vid < c.vid
+),
+scored AS (
+  SELECT id_a, id_b,
+         {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) AS cosine
+  FROM pairs
 )
-SELECT id_a, id_b,
-       {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) AS cosine
-FROM pairs
-WHERE {_dotp('va', 'vb')} / (sqrt({_dotp('va', 'va')}) * sqrt({_dotp('vb', 'vb')})) >= 0.3
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= {similarity.NEAR_DUP_THRESHOLD}e0
 """
 
     # TOC-preferred sections. TOC docs anchor one entry per page at the

@@ -69,12 +69,13 @@ def run_extraction(
 
     committed = committed_doc_ids(spark, base_dir)
     todo = spans_df
-    skipped = 0
+    total = None
     if committed is not None:
+        # one metadata-cheap count of the input; docs_skipped is derived
+        # later as total - processed (processed comes from the lineage rows),
+        # avoiding a second full anti-join pass just for the counter
         total = spans_df.count()
         todo = spans_df.join(committed, "doc_id", "left_anti")
-        remaining = todo.count()
-        skipped = total - remaining
 
     kwargs = {"with_structure": False}
     if fanout_threshold is not None:
@@ -131,5 +132,5 @@ def run_extraction(
         "run_id": run_id,
         "snapshot_id": snap,
         "docs_processed": processed,
-        "docs_skipped": skipped,
+        "docs_skipped": (total - processed) if total is not None else 0,
     }

@@ -89,6 +89,10 @@ PLANES_PER_BAND = 8
 #: dedup.MAX_BUCKET; a bucket of b vectors costs b^2 join rows
 MAX_BUCKET = 64
 
+#: exact-cosine acceptance threshold for embedding near-duplicate pairs —
+#: shared with the DuckDB oracle (interpolated there, never hardcoded)
+NEAR_DUP_THRESHOLD = 0.3
+
 
 def srp_plane_values(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic hyperplanes: plane p component j =
@@ -208,7 +212,7 @@ def srp_candidate_pairs(
 
 def srp_near_dup_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.3,
+    threshold: float = NEAR_DUP_THRESHOLD,
     n_bands: int = N_BANDS,
     planes_per_band: int = PLANES_PER_BAND,
     dim: int = 64,
