@@ -52,3 +52,41 @@ def test_lineage_metrics(spark, base_dir):
     all_codes = {c for r in rows for c in r["failure_codes"]}
     assert "bad_media_ref:1" in all_codes
     assert sum(r["failure_count"] for r in rows) == 3  # 3 corrupt docs
+
+
+def test_upsert_replaces_by_doc_id(spark, base_dir):
+    """MERGE-on-doc_id twin: reprocessed docs replace their rows, untouched
+    docs are preserved, no duplicate doc_ids, counts reported correctly."""
+    full = synth.corpus_df(spark)
+    lineage.run_extraction(spark, full, base_dir, run_id="base")
+    results = spark.read.parquet(f"{base_dir}/results")
+    n = results.count()
+
+    # reprocess 3 docs with a changed run_id (stand-in for changed content)
+    from pyspark.sql import functions as F
+
+    some_ids = [r["doc_id"] for r in results.select("doc_id").limit(3).collect()]
+    new_batch = results.where(F.col("doc_id").isin(some_ids)).withColumn(
+        "run_id", F.lit("reproc")
+    )
+    stats = lineage.upsert_results(spark, new_batch, base_dir)
+    assert stats == {"inserted": 0, "updated": 3}
+
+    after = spark.read.parquet(f"{base_dir}/results")
+    assert after.count() == n
+    assert after.select("doc_id").distinct().count() == n
+    got = {r["doc_id"]: r["run_id"] for r in after.select("doc_id", "run_id").collect()}
+    for d in some_ids:
+        assert got[d] == "reproc"
+    assert sum(1 for v in got.values() if v == "reproc") == 3
+
+    # genuinely new doc -> inserted (fresh read: plans captured before a
+    # previous upsert reference the swapped-out files, like any snapshot read)
+    new_doc = (
+        spark.read.parquet(f"{base_dir}/results")
+        .limit(1)
+        .withColumn("doc_id", F.lit("brand_new"))
+    )
+    stats2 = lineage.upsert_results(spark, new_doc, base_dir)
+    assert stats2 == {"inserted": 1, "updated": 0}
+    assert spark.read.parquet(f"{base_dir}/results").count() == n + 1

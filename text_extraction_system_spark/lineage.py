@@ -51,6 +51,57 @@ def committed_doc_ids(spark: SparkSession, base_dir: str) -> DataFrame | None:
         return None
 
 
+def upsert_results(
+    spark: SparkSession, new_results: DataFrame, base_dir: str
+) -> dict:
+    """MERGE-on-doc_id twin for REPROCESSED docs: rows whose doc_id appears
+    in ``new_results`` are replaced, everything else is preserved.
+
+    On Iceberg this is literally ``MERGE INTO results r USING n ON
+    r.doc_id = n.doc_id WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN
+    INSERT *`` with snapshot isolation. The local-parquet twin rewrites to a
+    staging directory and atomically renames — the same
+    read-committed/replace-by-key semantics at sandbox scale. (The normal
+    resume path never needs this: run_extraction's anti-join only ever
+    APPENDS missing docs; upsert is for content that changed upstream.)
+    """
+    results_path = os.path.join(base_dir, "results")
+    existing = None
+    try:
+        existing = spark.read.parquet(results_path)
+    except Exception:
+        pass
+
+    if existing is None:
+        new_results.write.mode("overwrite").parquet(results_path)
+        n_new = spark.read.parquet(results_path).count()
+        return {"inserted": n_new, "updated": 0}
+
+    keys = new_results.select("doc_id")
+    kept = existing.join(keys, "doc_id", "left_anti")
+    n_existing = existing.count()
+    n_batch = new_results.count()
+    merged = kept.select(existing.columns).unionByName(
+        new_results.select(existing.columns)
+    )
+    staging = results_path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    n_merged = spark.read.parquet(staging).count()
+
+    import shutil
+
+    old = results_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(results_path, old)
+    os.rename(staging, results_path)
+    shutil.rmtree(old, ignore_errors=True)
+    # Spark caches file listings per path; the swap invalidates them
+    spark.catalog.refreshByPath(results_path)
+
+    updated = n_existing - (n_merged - n_batch)  # existing rows replaced
+    return {"inserted": n_batch - updated, "updated": updated}
+
+
 def run_extraction(
     spark: SparkSession,
     spans_df: DataFrame,
