@@ -99,13 +99,9 @@ def main() -> None:
     rep = 64
     big_path = "/tmp/bench_corpus"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    (
-        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
-        .select(F.concat_ws("_", "doc_id", "rep").alias("doc_id"), "text")
-        .repartition(cpus * 4)
-        .write.mode("overwrite")
-        .parquet(big_path)
-    )
+    from text_extraction_system_spark import synth
+
+    synth.replicate_corpus(docs, rep, cpus * 4).write.mode("overwrite").parquet(big_path)
     big = spark.read.parquet(big_path)
     n_big = big.count()
     big_bytes = n_big / n_docs * doc_bytes

@@ -22,7 +22,6 @@ def main() -> None:
 
     from text_extraction_system_spark import lineage
     from text_extraction_system_spark.operators import derive_spans as ds
-    from text_extraction_system_spark.operators import partitioning
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -37,15 +36,17 @@ def main() -> None:
     df = spark.read.parquet(args.input)
     if args.input_kind == "documents":
         df = ds.derive_spans(df)
-    if args.num_partitions > 0:
-        df = partitioning.cost_salted_repartition(df, args.num_partitions)
 
+    # cost salting is applied INSIDE run_extraction, after the resume
+    # anti-join — applying it here would be shuffled away by the join on
+    # every resume run
     summary = lineage.run_extraction(
         spark,
         df,
         args.output,
         run_id=args.run_id,
         fanout_threshold=args.fanout_threshold,
+        num_partitions=args.num_partitions,
     )
     print(summary)
     spark.stop()

@@ -43,12 +43,25 @@ def snapshot_id(docs: DataFrame) -> str:
     return hashlib.md5("|".join(files).encode()).hexdigest()[:16]
 
 
-def committed_doc_ids(spark: SparkSession, base_dir: str) -> DataFrame | None:
+def _read_results(spark: SparkSession, base_dir: str) -> DataFrame | None:
+    """Read the committed results table, or None iff it genuinely does not
+    exist. Never swallows read FAILURES: a corrupt/unreadable existing table
+    must abort the run, not masquerade as 'no prior commits' (which would
+    re-append every doc on resume, or let upsert overwrite the table with
+    just its batch). Also recovers a table stranded mid-swap by a crashed
+    upsert (results renamed to .old, staging never promoted)."""
     path = os.path.join(base_dir, "results")
-    try:
-        return spark.read.parquet(path).select("doc_id")
-    except Exception:
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crash recovery: promote the pre-swap table
+    if not os.path.exists(path):
         return None
+    return spark.read.parquet(path)
+
+
+def committed_doc_ids(spark: SparkSession, base_dir: str) -> DataFrame | None:
+    existing = _read_results(spark, base_dir)
+    return existing.select("doc_id") if existing is not None else None
 
 
 def upsert_results(
@@ -60,27 +73,29 @@ def upsert_results(
     On Iceberg this is literally ``MERGE INTO results r USING n ON
     r.doc_id = n.doc_id WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN
     INSERT *`` with snapshot isolation. The local-parquet twin rewrites to a
-    staging directory and atomically renames — the same
-    read-committed/replace-by-key semantics at sandbox scale. (The normal
-    resume path never needs this: run_extraction's anti-join only ever
-    APPENDS missing docs; upsert is for content that changed upstream.)
+    staging directory and swaps it in (two renames; a crash between them is
+    recovered by ``_read_results``'s .old promotion — the swap is
+    crash-safe, not single-syscall atomic). Like MERGE with multiple
+    matches, a batch with duplicate doc_ids is an error.
     """
     results_path = os.path.join(base_dir, "results")
-    existing = None
-    try:
-        existing = spark.read.parquet(results_path)
-    except Exception:
-        pass
+    existing = _read_results(spark, base_dir)
+
+    n_batch = new_results.count()
+    n_batch_distinct = new_results.select("doc_id").distinct().count()
+    if n_batch != n_batch_distinct:
+        raise ValueError(
+            f"upsert batch has duplicate doc_ids ({n_batch} rows, "
+            f"{n_batch_distinct} distinct) — MERGE requires unique match keys"
+        )
 
     if existing is None:
         new_results.write.mode("overwrite").parquet(results_path)
-        n_new = spark.read.parquet(results_path).count()
-        return {"inserted": n_new, "updated": 0}
+        return {"inserted": n_batch, "updated": 0}
 
     keys = new_results.select("doc_id")
     kept = existing.join(keys, "doc_id", "left_anti")
     n_existing = existing.count()
-    n_batch = new_results.count()
     merged = kept.select(existing.columns).unionByName(
         new_results.select(existing.columns)
     )
@@ -108,6 +123,7 @@ def run_extraction(
     base_dir: str,
     run_id: str | None = None,
     fanout_threshold: int | None = None,
+    num_partitions: int | None = None,
 ) -> dict:
     """Process only not-yet-committed docs; append results + lineage rows.
 
@@ -127,6 +143,14 @@ def run_extraction(
         # avoiding a second full anti-join pass just for the counter
         total = spans_df.count()
         todo = spans_df.join(committed, "doc_id", "left_anti")
+
+    if num_partitions and num_partitions > 0:
+        # applied AFTER the resume anti-join: the join's doc_id shuffle would
+        # otherwise replace the cost-salted layout and the flag would
+        # silently do nothing on every resume run
+        from .operators import partitioning
+
+        todo = partitioning.cost_salted_repartition(todo, num_partitions)
 
     kwargs = {"with_structure": False}
     if fanout_threshold is not None:
@@ -152,7 +176,9 @@ def run_extraction(
             .agg(
                 F.count(F.lit(1)).alias("doc_count"),
                 F.sum(F.size("out_spans")).cast("long").alias("span_count"),
-                F.sum(F.length("plain_text")).cast("long").alias("byte_count"),
+                # octet_length: byte accounting must count BYTES (a CJK doc
+                # is ~3x its char count in utf-8)
+                F.sum(F.octet_length("plain_text")).cast("long").alias("byte_count"),
                 F.sum(F.size("parse_failures")).cast("long").alias("failure_count"),
                 F.array_distinct(
                     F.flatten(F.collect_list("parse_failures"))
@@ -160,22 +186,26 @@ def run_extraction(
             )
             .collect()  # one tiny row per write partition
         )
+        # metrics are committed BEFORE the results append: a crash in the
+        # window between the two leaves an orphan lineage run (a run_id with
+        # metrics but no results rows — detectable, and the resume rerun
+        # writes its own complete accounting), whereas the reverse order
+        # would permanently lose accounting for committed docs.
+        metrics = spark.createDataFrame(metric_rows, schema=_METRIC_AGG_SCHEMA).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(snap).alias("snapshot_id"),
+            "partition_id",
+            "doc_count",
+            "span_count",
+            "byte_count",
+            "failure_count",
+            "failure_codes",
+            F.current_timestamp().alias("finished_at"),
+        )
+        metrics.write.mode("append").parquet(os.path.join(base_dir, "metrics"))
         stamped.drop("partition_id").write.mode("append").parquet(results_path)
     finally:
         stamped.unpersist()
-
-    metrics = spark.createDataFrame(metric_rows, schema=_METRIC_AGG_SCHEMA).select(
-        F.lit(run_id).alias("run_id"),
-        F.lit(snap).alias("snapshot_id"),
-        "partition_id",
-        "doc_count",
-        "span_count",
-        "byte_count",
-        "failure_count",
-        "failure_codes",
-        F.current_timestamp().alias("finished_at"),
-    )
-    metrics.write.mode("append").parquet(os.path.join(base_dir, "metrics"))
 
     # processed comes from the already-collected lineage rows: no extra job
     processed = sum(r["doc_count"] for r in metric_rows)

@@ -163,3 +163,16 @@ def corpus_df(spark, n_per_archetype: int = 3):
         for doc_id, spans in corpus(n_per_archetype)
     ]
     return spark.createDataFrame(data, schemas.SPANS_INPUT)
+
+
+def replicate_corpus(docs, rep: int, num_partitions: int):
+    """Replicate a documents table ``rep`` times with distinct doc_ids —
+    the shared bench-corpus builder (bench.py and tools/scaling_bench.py use
+    the same derivation so both benchmarks measure the same data shape)."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
+        .select(F.concat_ws("_", "doc_id", "rep").alias("doc_id"), "text")
+        .repartition(num_partitions)
+    )

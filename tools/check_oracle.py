@@ -32,6 +32,15 @@ def _norm(v):
         return f"{v:.9g}"
     if isinstance(v, bool):
         return "true" if v else "false"
+    # normalize RECURSIVELY: floats nested in arrays/structs must get the
+    # same 9-sig-digit treatment, and Spark Rows vs DuckDB dicts/lists must
+    # not differ by container repr
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if hasattr(v, "asDict"):  # pyspark Row
+        return _norm(v.asDict())
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
 
 

@@ -48,9 +48,8 @@ from text_extraction_system_spark.session import get_spark
 out, sf_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
 spark = get_spark(master="local[32]", shuffle_partitions=32)
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-big = (docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
-       .select(F.concat_ws("_", "doc_id", "rep").alias("doc_id"), "text")
-       .repartition(128))
+from text_extraction_system_spark import synth
+big = synth.replicate_corpus(docs, replicate, 128)
 big.write.mode("overwrite").parquet(out)
 big2 = spark.read.parquet(out).withColumn("part", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
 for p in range(4):
@@ -84,13 +83,22 @@ spark.stop()
 
 
 def _sec(stdout: str) -> float:
-    return json.loads([ln for ln in stdout.splitlines() if ln.startswith("{")][-1])["sec"]
+    lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"executor produced no result JSON; stdout: {stdout[-500:]!r}")
+    return json.loads(lines[-1])["sec"]
 
 
 def _run(args: list[str], snippet: str) -> str:
-    return subprocess.run(
+    proc = subprocess.run(
         [sys.executable, "-c", snippet, *args], capture_output=True, text=True, timeout=2400
-    ).stdout
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench subprocess failed (rc={proc.returncode}, args={args}):\n"
+            + proc.stderr[-2000:]
+        )
+    return proc.stdout
 
 
 def main() -> None:
@@ -102,11 +110,16 @@ def main() -> None:
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _EXEC, str(p * 8), str(p * 8 + 8), f"{corpus}_shard{p}", "2"],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for p in range(4)
     ]
-    shard_secs = [_sec(p.communicate()[0]) for p in procs]
+    shard_secs = []
+    for i, p in enumerate(procs):
+        out, err = p.communicate()
+        if p.returncode != 0:
+            raise RuntimeError(f"shard {i} executor failed (rc={p.returncode}):\n{err[-2000:]}")
+        shard_secs.append(_sec(out))
     t_4n = max(shard_secs)
     t_iso = _sec(_run(["0", "8", f"{corpus}_shard0", "2"], _EXEC))
 
