@@ -69,3 +69,49 @@ def test_edge_corpus_parity(spark, edge_dir, duck, name):
     )
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+EMB_QUERIES = ["ann_topk", "ann_lsh_topk", "ann_ivf_topk", "emb_near_dup"]
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(64).astype("float32") for _ in range(30)]
+    vecs[3] = np.zeros(64, dtype="float32")   # zero norm -> NULL cosine
+    vecs[5] = vecs[4].copy()                  # exact duplicate -> cosine-1 tie
+    vecs[21] = -vecs[20]                      # antipode -> cosine -1
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [v.tolist() for v in vecs], "label": [0] * 30}
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb_duck(emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_edge_embeddings_parity(spark, emb_dir, emb_duck, name):
+    """Zero-norm vectors (NULL cosine via try_divide, sorted last under DESC
+    in both engines), exact duplicates (cosine-1 ties) and antipodes must not
+    diverge the similarity queries — a zero embedding previously raised
+    ANSI DIVIDE_BY_ZERO and killed the job."""
+    q = entry.queries()[name](spark, emb_dir)
+    cols = q.columns
+    sdf = q.toPandas().sort_values(by=cols).reset_index(drop=True).astype(str)
+    odf = (
+        emb_duck.execute(entry.oracle_sql()[name]).df()[cols]
+        .sort_values(by=cols).reset_index(drop=True).astype(str)
+    )
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)

@@ -37,7 +37,11 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """NULL when either vector has zero norm (cosine undefined): try_divide
+    mirrors DuckDB's x/0.0 -> NULL, instead of the ANSI DIVIDE_BY_ZERO error
+    that would kill the job on the first degenerate embedding; both engines
+    then sort NULL cosines last under DESC."""
+    return F.try_divide(dot_col(a, b), norm_col(a) * norm_col(b))
 
 
 def brute_force_topk(
