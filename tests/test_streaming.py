@@ -168,3 +168,40 @@ def test_extraction_stream_incremental_exactly_once(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n
     assert out.select("doc_id").distinct().count() == n
+
+
+def test_curation_stream_matches_batch_survivors(spark, tmp_path):
+    """The streaming curation twin keeps exactly the batch funnel's
+    post-dedup survivor count (first-seen winners may differ by arrival
+    order; the content-hash set must not)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import curation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = pd.Timestamp("2026-01-01")
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "cin"), str(tmp_path / "cckpt"), str(tmp_path / "cout")
+    )
+    docs.withColumn(
+        "ingest_ts", F.lit(base).cast("timestamp")
+    ).write.parquet(in_dir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long, "
+        "ingest_ts timestamp"
+    ).parquet(in_dir)
+    (
+        jobs.curation_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(out_dir)
+    batch_kept = curation.funnel(docs).agg(F.sum("n_deduped")).collect()[0][0]
+    assert got.count() == batch_kept
+    assert got.select("content_hash").distinct().count() == batch_kept

@@ -23,8 +23,9 @@ MIN_TOKENS = 20
 MAX_TOKENS = 80
 
 
-def doc_signals(docs: DataFrame) -> DataFrame:
-    """Per-doc curation signals in one narrow projection."""
+def doc_signals(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc curation signals in one narrow projection; ``extra_cols``
+    pass through untouched (e.g. the ingest timestamp in the streaming twin)."""
     q = textstats.quality_cols(F.col("text"))
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -34,6 +35,22 @@ def doc_signals(docs: DataFrame) -> DataFrame:
         textstats.token_count_col(F.col("text")).alias("n_tokens"),
         q["quality_score"].alias("quality_score"),
         F.md5("text").alias("content_hash"),
+        *extra_cols,
+    )
+
+
+def keep_predicate(
+    lang: str = KEEP_LANG,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+):
+    """The funnel's gate over doc_signals columns (shared batch/streaming)."""
+    return (
+        (F.col("declared_lang") == lang)
+        & (F.col("language") == lang)
+        & (F.col("quality_score") >= min_quality)
+        & F.col("n_tokens").between(min_tokens, max_tokens)
     )
 
 

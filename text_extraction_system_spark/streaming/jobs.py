@@ -192,3 +192,25 @@ def dedup_stream(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def curation_stream(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the curation funnel's KEEP path: the stateless
+    gates (language agreement, quality, token budget) run per row exactly as
+    in batch (shared curation.keep_predicate), then watermark-bounded exact
+    dedup keeps the first occurrence of each surviving content hash. The
+    survivor stream is what feeds the training table; the per-source funnel
+    REPORT stays a batch job over the committed table."""
+    from ..operators import curation
+
+    s = curation.doc_signals(docs_stream, extra_cols=(ts_col,)).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    kept = s.where(curation.keep_predicate())
+    return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
