@@ -39,19 +39,32 @@ def doc_signals(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+def gates(
+    lang: str = KEEP_LANG,
+    min_quality: float = MIN_QUALITY,
+    min_tokens: int = MIN_TOKENS,
+    max_tokens: int = MAX_TOKENS,
+) -> dict:
+    """The funnel's gate columns over doc_signals output — the single
+    definition shared by the batch funnel's stage flags and the streaming
+    keep predicate. Language gate = declared metadata AND content detection
+    agree (mislabeled-crawl noise drops here)."""
+    return {
+        "lang_ok": (F.col("declared_lang") == lang) & (F.col("language") == lang),
+        "q_ok": F.col("quality_score") >= min_quality,
+        "tok_ok": F.col("n_tokens").between(min_tokens, max_tokens),
+    }
+
+
 def keep_predicate(
     lang: str = KEEP_LANG,
     min_quality: float = MIN_QUALITY,
     min_tokens: int = MIN_TOKENS,
     max_tokens: int = MAX_TOKENS,
 ):
-    """The funnel's gate over doc_signals columns (shared batch/streaming)."""
-    return (
-        (F.col("declared_lang") == lang)
-        & (F.col("language") == lang)
-        & (F.col("quality_score") >= min_quality)
-        & F.col("n_tokens").between(min_tokens, max_tokens)
-    )
+    """AND of all gates (shared batch/streaming)."""
+    g = gates(lang, min_quality, min_tokens, max_tokens)
+    return g["lang_ok"] & g["q_ok"] & g["tok_ok"]
 
 
 def funnel(
@@ -64,16 +77,12 @@ def funnel(
     """Per-source funnel report: docs entering, surviving each gate in
     sequence, surviving exact dedup, and the token budget kept."""
     s = doc_signals(docs)
-    # language-agreement gate: declared metadata AND content detection must
-    # both name the target language — docs whose label disagrees with their
-    # content are the classic mislabeled-crawl noise a curation pass drops
+    g = gates(lang, min_quality, min_tokens, max_tokens)
     flagged = s.select(
         "*",
-        ((F.col("declared_lang") == lang) & (F.col("language") == lang)).alias(
-            "lang_ok"
-        ),
-        (F.col("quality_score") >= min_quality).alias("q_ok"),
-        F.col("n_tokens").between(min_tokens, max_tokens).alias("tok_ok"),
+        g["lang_ok"].alias("lang_ok"),
+        g["q_ok"].alias("q_ok"),
+        g["tok_ok"].alias("tok_ok"),
     )
     kept = flagged.where("lang_ok AND q_ok AND tok_ok")
     canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
