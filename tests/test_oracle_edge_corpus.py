@@ -115,3 +115,55 @@ def test_edge_embeddings_parity(spark, emb_dir, emb_duck, name):
     )
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
+
+
+EVENT_QUERIES = ["sessionize", "tumbling"]
+
+
+@pytest.fixture(scope="module")
+def ev_dir(spark):
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    eid = 0
+    # user 1: two events at the SAME timestamp (tie broken by event_id),
+    # then a gap larger than the session window
+    for dt_min in [0, 0, 500]:
+        rows.append((eid, base + pd.Timedelta(minutes=dt_min), 1, "click", 1.5, "{}"))
+        eid += 1
+    # user 2: single event
+    rows.append((eid, base, 2, "view", 0.25, "{}")); eid += 1
+    # user 3: events exactly at the session-gap boundary spacing
+    for k in range(3):
+        rows.append((eid, base + pd.Timedelta(seconds=k * 1800), 3, "click", 2.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(pdf).write.parquet(f"{d}/events.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def ev_duck(ev_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{ev_dir}/events.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_edge_events_parity(spark, ev_dir, ev_duck, name):
+    """Timestamp ties (ordering falls to event_id), single-event users, and
+    events exactly at the session-gap boundary must not diverge."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    q = entry.queries()[name](spark, ev_dir)
+    cols = q.columns
+    sdf = q.toPandas().sort_values(by=cols).reset_index(drop=True).astype(str)
+    odf = (
+        ev_duck.execute(entry.oracle_sql()[name]).df()[cols]
+        .sort_values(by=cols).reset_index(drop=True).astype(str)
+    )
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
