@@ -390,6 +390,26 @@ def _q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.funnel(_docs(spark, sf_dir))
 
 
+#: feature-cosine threshold for media near-duplicates (byte-histogram
+#: features concentrate near the uniform direction, so the bar sits high)
+MEDIA_NEAR_DUP_THRESHOLD = 0.85
+
+
+def _q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-operator composition: multimodal feature extraction feeds the
+    banded SRP-LSH near-dup machinery (dim=16) — near-duplicate media
+    payloads by feature cosine. Features are exact dyadics, plane dots are
+    exact, so bucketing and scoring are bit-deterministic in both engines."""
+    feats = multimodal.extract_features(_docs(spark, sf_dir))
+    return similarity.srp_near_dup_pairs(
+        feats,
+        threshold=MEDIA_NEAR_DUP_THRESHOLD,
+        dim=multimodal.FEATURE_DIM,
+        id_col="media_ref",
+        vec_col="feature",
+    )
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (library-free, no stub): normalized
     high-nibble byte histogram per media payload through Arrow binary
@@ -490,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coords_text": _q_coords_text,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
+        "media_near_dup": _q_media_near_dup,
         "curation_funnel": _q_curation_funnel,
         "reading_order": _q_reading_order,
     }
@@ -1284,6 +1305,62 @@ SELECT doc_id, media_ref,
         = substr('{_HEX}', CAST(b + 1 AS INT), 1))) AS DOUBLE) / 16.0e0
   ) AS feature
 FROM spans WHERE kind = 'media'
+"""
+    )
+
+    # media near-dup twin: the dim-16 rendition of the banded SRP machinery
+    # over the feature CTE. Features (dyadic n/16) times half-integer plane
+    # components are exact, so bucket signs and cosines are bit-identical.
+    _mf = (
+        f"list_transform(range({multimodal.FEATURE_DIM}), b -> "
+        "CAST(len(list_filter(range(16), j -> "
+        "substr(md5(media_ref), CAST(2 * j + 1 AS INT), 1) "
+        f"= substr('{_HEX}', CAST(b + 1 AS INT), 1))) AS DOUBLE) / 16.0e0)"
+    )
+    _m_plane_dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(range({multimodal.FEATURE_DIM}), "
+        "k -> {v}[k+1] * "
+        f"(strpos('{_HEX}', substr(md5((b * {_ppb} + j) || ':' || k), 1, 1))"
+        " - 1 - 7.5))), "
+        "(x, y) -> x + y)"
+    )
+    _m_bucket = (
+        f"array_to_string(list_transform(range({_ppb}), j -> CASE WHEN "
+        + _m_plane_dot
+        + " >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    _m_dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(range({multimodal.FEATURE_DIM}), "
+        "j -> {a}[j+1] * {b}[j+1])), (x, y) -> x + y)"
+    )
+    sql["media_near_dup"] = (
+        _SQL_SPANS_CTE
+        + f""",
+feats AS (
+  SELECT media_ref, {_mf} AS feature FROM spans WHERE kind = 'media'
+),
+bb AS (
+  SELECT media_ref AS vid, feature AS vec, tt.b AS band,
+         {_m_bucket.format(v='feature')} AS bucket
+  FROM feats, unnest(range({_nbands})) AS tt(b)
+),
+counted AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bucket_n FROM bb
+),
+kept AS (SELECT * FROM counted WHERE bucket_n <= {similarity.MAX_BUCKET}),
+pairs AS (
+  SELECT DISTINCT a.vid AS id_a, a.vec AS va, c.vid AS id_b, c.vec AS vb
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bucket = c.bucket
+  WHERE a.vid < c.vid
+),
+scored AS (
+  SELECT id_a, id_b,
+         {_m_dot.format(a='va', b='vb')}
+           / (sqrt({_m_dot.format(a='va', b='va')}) * sqrt({_m_dot.format(a='vb', b='vb')})) AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= {MEDIA_NEAR_DUP_THRESHOLD}e0
 """
     )
 

@@ -41,6 +41,7 @@ HEADLINE = [
     "exact_dedup",
     "curation_funnel",
     "media_features",
+    "media_near_dup",
     "near_dup_pairs",
     "ann_topk",
     "ann_lsh_topk",
