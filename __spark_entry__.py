@@ -413,8 +413,18 @@ def _q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction (library-free, no stub): normalized
     high-nibble byte histogram per media payload through Arrow binary
-    batches — the fixed-function stand-in for a CNN embedding."""
-    return multimodal.extract_features(_docs(spark, sf_dir))
+    batches — the fixed-function stand-in for a CNN embedding.
+
+    Output is exploded to scalar (doc_id, media_ref, bin, feat_value) rows:
+    the driver's canonicalizer sorts by column values and cannot order raw
+    array cells (round-2 red row), and the long shape is also what a feature
+    store would partition on at scale."""
+    feats = multimodal.extract_features(_docs(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.posexplode("feature").alias("bin", "feat_value"),
+    )
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1294,17 +1304,19 @@ SELECT * FROM gout UNION ALL SELECT * FROM tout
     # media feature twin: payload = md5 digest bytes repeated k times, so the
     # normalized high-nibble histogram equals (count of odd-position md5 hex
     # chars == digit b) / 16 — exact dyadics, bit-identical across engines
-    # ((c*k)/(16k) float-divides to the correctly-rounded c/16 both sides)
+    # ((c*k)/(16k) float-divides to the correctly-rounded c/16 both sides).
+    # Exploded to one scalar row per (media_ref, bin): the driver's
+    # canonicalizer sorts by value and cannot order raw array cells.
     sql["media_features"] = (
         _SQL_SPANS_CTE
         + f"""
-SELECT doc_id, media_ref,
-  list_transform(range({multimodal.FEATURE_DIM}), b ->
-    CAST(len(list_filter(range(16), j ->
-      substr(md5(media_ref), CAST(2 * j + 1 AS INT), 1)
-        = substr('{_HEX}', CAST(b + 1 AS INT), 1))) AS DOUBLE) / 16.0e0
-  ) AS feature
-FROM spans WHERE kind = 'media'
+SELECT doc_id, media_ref, CAST(b AS INT) AS bin,
+  CAST(len(list_filter(range(16), j ->
+    substr(md5(media_ref), CAST(2 * j + 1 AS INT), 1)
+      = substr('{_HEX}', CAST(b + 1 AS INT), 1))) AS DOUBLE) / 16.0e0
+    AS feat_value
+FROM spans CROSS JOIN range({multimodal.FEATURE_DIM}) AS t(b)
+WHERE kind = 'media'
 """
     )
 

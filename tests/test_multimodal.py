@@ -58,3 +58,45 @@ def test_frame_sampling_fanout(spark):
         assert all(len(bytes(f["frame"])) == multimodal.FRAME_BYTES for f in frames)
         digest = hashlib.md5(ref.encode()).digest()
         assert all(bytes(f["frame"]) == digest for f in frames)  # fake payload = digest*k
+
+
+def test_resize_kernel_with_pil_like_module():
+    """Round-2 verdict item 3: a present-and-working PIL module must route
+    through the decode/resize/re-encode body (exercised here with a
+    PIL-shaped fake, since the container has no PIL), and a payload PIL
+    cannot decode must FALL BACK to the deterministic kernel — never raise."""
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def resize(self, wh):
+            self.wh = wh
+            return self
+
+        def save(self, buf, format):
+            assert format == "PNG"
+            buf.write(b"PNG" + bytes(self.wh))
+
+    class FakeImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"good":
+                raise OSError("cannot identify image file")
+            return FakeImg()
+
+    out = multimodal._resize_payload(b"good-image-bytes", 8, FakeImageMod)
+    assert out == b"PNG" + bytes((8, 8))  # went through the PIL-shaped path
+
+    bad = hashlib.md5(b"x").digest() * 3  # synthetic payload: not decodable
+    out2 = multimodal._resize_payload(bad, 8, FakeImageMod)
+    assert out2 == multimodal._resize_payload(bad, 8, None)  # fell back
+    assert len(out2) == 8
+
+
+def test_resize_kernel_no_pil_matches_fake():
+    b = bytes(range(100))
+    out = multimodal._resize_payload(b, 16, None)
+    step = 100 // 16
+    assert out == b[::step][:16].ljust(16, b"\x00")

@@ -169,3 +169,32 @@ def test_ivf_training_descends(spark):
     assert i1 < i0
     assert i2 <= i1 + 1e-9
     assert len(c1) == 8 and all(len(v) == 64 for v in c1)
+
+
+def test_vectorized_ivf_assignment_bit_identical(spark):
+    """Round-2 verdict item 4: the numpy mapInPandas assignment must choose
+    EXACTLY the same cell as the interpreted HOF expression for every row —
+    not within tolerance, identical (the accumulation replays the fold's
+    multiply/add order). Cell identity is what partitioning needs; a single
+    divergent row would send a vector to a different IVF partition."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cells_lit = similarity._ivf_cells_lit(64, similarity.IVF_CENTROIDS)
+    hof = emb.select(
+        "vec_id",
+        similarity.ivf_cell_col(
+            similarity.ivf_dists_col(F.col("embedding"), cells_lit)
+        ).alias("cell"),
+    )
+    vec = similarity.assign_cells_vectorized(emb).select("vec_id", "cell")
+    diff = (
+        hof.alias("h")
+        .join(vec.alias("v"), "vec_id")
+        .where(F.col("h.cell") != F.col("v.cell"))
+        .count()
+    )
+    assert diff == 0
+    assert vec.count() == emb.count()

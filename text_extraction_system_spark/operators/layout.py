@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..core import spec
 
 
-def page_texts_col(out_spans: Column) -> Column:
+def page_texts_col(out_spans: Column, dense: bool | None = None) -> Column:
     """array<string>: assembled text of each page (with separators).
 
     Fast path: when offsets are dense 0..n-1 and offset-ordered (always true
@@ -27,9 +27,20 @@ def page_texts_col(out_spans: Column) -> Column:
     ``[p*PAGE_SPANS+1, PAGE_SPANS]`` — O(S) total instead of the per-page
     filter's O(n_pages × S), which is quadratic for a giant doc (10^5 spans
     -> ~2.5e9 comparisons in one task). Externally-authored spans with gaps
-    or out-of-order offsets (e.g. an intentionally empty leading page) are
-    detected per row with one cheap O(S) pass and take the offset-keyed
-    filter path, matching core/oracle.assemble's offset semantics exactly."""
+    or out-of-order offsets (e.g. an intentionally empty leading page) take
+    the offset-keyed filter path, matching core/oracle.assemble's offset
+    semantics exactly.
+
+    ``dense`` declares the offset-density invariant STATICALLY:
+      * ``True``  — offsets are dense by construction (derive_spans output);
+        emit only the slice path, no per-row check. This is the hot path:
+        the runtime check costs a full extra zip_with+forall pass over
+        ``out_spans`` per row, which round 2's driver bench showed as a
+        20-70% regression across every assembly-family query.
+      * ``False`` — known-sparse; emit only the offset-keyed path.
+      * ``None``  — unknown provenance (external spans tables, the
+        input_hint shape): one O(S) runtime density probe per row picks
+        the path. Correct for anything, slower than a static contract."""
     from .exprutil import let
 
     n_pages = (F.element_at(out_spans, -1)["offset"] / spec.PAGE_SPANS).cast("int") + 1
@@ -66,6 +77,11 @@ def page_texts_col(out_spans: Column) -> Column:
             )
 
         return F.transform(pages_idx, page_text)
+
+    if dense is True:
+        return let(F.transform(out_spans, lambda s: s["text"]), dense_pages)
+    if dense is False:
+        return keyed_pages()
 
     is_dense = F.forall(
         F.zip_with(
@@ -114,9 +130,14 @@ def pages_col(page_texts: Column) -> Column:
     return F.aggregate(page_texts, zero, step, lambda acc: acc["pages"])
 
 
-def assemble(stitched: DataFrame) -> DataFrame:
-    """(doc_id, needs_ocr, parse_failures, out_spans) -> + (plain_text, pages)."""
-    with_pages = stitched.withColumn("_page_texts", page_texts_col(F.col("out_spans")))
+def assemble(stitched: DataFrame, dense: bool | None = None) -> DataFrame:
+    """(doc_id, needs_ocr, parse_failures, out_spans) -> + (plain_text, pages).
+
+    ``dense`` is the static offset-density contract forwarded to
+    ``page_texts_col`` — pass True when the spans were engine-derived."""
+    with_pages = stitched.withColumn(
+        "_page_texts", page_texts_col(F.col("out_spans"), dense=dense)
+    )
     return with_pages.select(
         "doc_id",
         "needs_ocr",

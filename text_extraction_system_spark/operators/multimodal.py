@@ -105,28 +105,46 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_media(docs: DataFrame, target: int = 64) -> DataFrame:
-    """Resize through real Arrow binary plumbing. The pixel kernel is a
-    DETERMINISTIC FAKE when PIL is absent (every k-th byte, padded — a
-    nearest-neighbor downsample over the fake payload); with PIL installed
-    the body decodes/resizes/re-encodes and nothing else changes."""
-    try:  # pragma: no cover - PIL absent in this container
-        from PIL import Image  # noqa: F401
+def _resize_payload(b: bytes, target: int, image_mod=None) -> bytes:
+    """Resize one payload. With a PIL-like ``image_mod`` (``PIL.Image``), a
+    decodable payload is decoded, resized to target x target, and re-encoded
+    as PNG. Undecodable payloads (this container's synthetic md5 payloads
+    are not valid image files) and the no-PIL case fall back to the
+    DETERMINISTIC FAKE: every k-th byte, padded — a nearest-neighbor
+    downsample over the raw bytes. Never raises on decode failure: at
+    10^12 docs a poison payload must degrade, not kill the job."""
+    if image_mod is not None:
+        import io
 
-        real = True
-    except ImportError:
-        real = False
+        try:
+            img = image_mod.open(io.BytesIO(b))
+            img = img.convert("RGB").resize((target, target))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            pass  # not a decodable image -> deterministic fallback
+    step = max(len(b) // target, 1)
+    small = b[::step][:target]
+    return small.ljust(target, b"\x00")
+
+
+def resize_media(docs: DataFrame, target: int = 64) -> DataFrame:
+    """Resize through real Arrow binary plumbing. The pixel kernel decodes/
+    resizes/re-encodes with PIL when it is importable AND the payload
+    decodes; otherwise (no PIL, or synthetic payload) the deterministic
+    byte-downsample fake runs. PIL's mere presence never changes a query
+    from working to failing (round-2 verdict item 3)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image as image_mod  # pragma: no cover
+        except ImportError:
+            image_mod = None
         for pdf in batches:
-            payloads = []
-            for payload in pdf["payload"]:
-                b = bytes(payload)
-                if real:  # pragma: no cover
-                    raise NotImplementedError("wire PIL decode/resize here")
-                step = max(len(b) // target, 1)
-                small = b[::step][:target]
-                payloads.append(small.ljust(target, b"\x00"))
+            payloads = [
+                _resize_payload(bytes(p), target, image_mod) for p in pdf["payload"]
+            ]
             out = pdf[["doc_id", "media_ref"]].copy()
             out["width"] = target
             out["height"] = target

@@ -343,6 +343,63 @@ def ivf_probe_cells_col(dists: Column, n_probe: int) -> Column:
     )
 
 
+def assign_cells_vectorized(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Numpy twin of ``ivf_cell_col(ivf_dists_col(...))`` — the production
+    assignment path (round-2 verdict item 4: the interpreted 64x64 HOF
+    mult-add dominated CPU; at 10^9+ vectors it is THE per-row cost).
+
+    BIT-IDENTICAL to the HOF by construction, not by tolerance: the
+    accumulation runs dim-major (one vectorized multiply + add per
+    dimension, j ascending), which performs exactly the same IEEE-double
+    multiply-then-add sequence per (row, cell) as the ``aggregate`` fold —
+    no FMA, no numpy pairwise summation, same ``2.0*dot`` and ``c2 - .``
+    rounding order, same first-index argmin tie-break. Pinned by
+    tests/test_plans.py (exact per-row cell equality on the sf corpus).
+
+    Returns (id_col, vec_col, cell) via one Arrow ``mapInPandas`` pass —
+    narrow, no shuffle; partitionBy("cell") downstream is the 10^12-row
+    materialization strategy."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = centroids if centroids is not None else ivf_centroid_values(dim, n_centroids)
+    # mirror the literal plan constant: python-float sequential sum (exact
+    # for half-integer components, and identical rounding regardless)
+    c2_list = [sum(v * v for v in cv) for cv in cents]
+
+    out_schema = StructType(
+        [f for f in embeddings.schema.fields if f.name in (id_col, vec_col)]
+        + [StructField("cell", IntegerType(), False)]
+    )
+
+    def gen(batches):
+        C = np.asarray(cents, dtype=np.float64)  # (k, dim), exact
+        c2 = np.asarray(c2_list, dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=np.array([], dtype=np.int32))
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # float32 -> double is exact
+            acc = np.zeros((X.shape[0], C.shape[0]))
+            for j in range(C.shape[1]):  # dim-major: the fold's add order
+                acc += X[:, j : j + 1] * C[None, :, j]
+            d = c2[None, :] - 2.0 * acc
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = np.argmin(d, axis=1).astype(np.int32)
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
@@ -352,6 +409,7 @@ def ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: every vector is assigned to
     its nearest coarse centroid (one narrow per-row pass — at 10^12 rows this
@@ -361,11 +419,22 @@ def ivf_topk(
     from .exprutil import let
 
     cells_lit = _ivf_cells_lit(dim, n_centroids)
-    base = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
-    )
+    if vectorized:
+        # production assignment: numpy mapInPandas, bit-identical to the
+        # HOF (see assign_cells_vectorized) — keeps the oracle green while
+        # dropping the interpreted 64x64 expression from the hot path
+        base = assign_cells_vectorized(
+            embeddings, n_centroids=n_centroids, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "cell"
+        )
+    else:
+        base = embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
+        )
     qs = embeddings.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

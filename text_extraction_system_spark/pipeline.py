@@ -28,10 +28,17 @@ def extract_from_documents(
     fanout_threshold: int | None = restitch.DEFAULT_FANOUT_THRESHOLD,
     with_structure: bool = True,
 ) -> DataFrame:
-    """documents -> extraction results (one row per doc)."""
+    """documents -> extraction results (one row per doc).
+
+    derive_spans assigns sequential offsets, so density is an invariant
+    here — declared statically (dense=True) rather than re-discovered with
+    a per-row pass (the round-2 assembly-family bench regression)."""
     spans = ds.derive_spans(docs, doc_id_col=doc_id_col, text_col=text_col)
     return extract_from_spans(
-        spans, fanout_threshold=fanout_threshold, with_structure=with_structure
+        spans,
+        fanout_threshold=fanout_threshold,
+        with_structure=with_structure,
+        dense=True,
     )
 
 
@@ -39,10 +46,17 @@ def extract_from_spans(
     spans_df: DataFrame,
     fanout_threshold: int | None = restitch.DEFAULT_FANOUT_THRESHOLD,
     with_structure: bool = True,
+    dense: bool | None = None,
 ) -> DataFrame:
-    """spans table (input_hint shape) -> extraction results."""
+    """spans table (input_hint shape) -> extraction results.
+
+    ``dense=None`` (default, externally-authored spans): a per-row O(S)
+    probe routes each doc to the slice or offset-keyed assembly. Pass
+    ``dense=True`` only when offsets are sequential 0..n-1 by construction
+    (restitch preserves and re-sorts on input offsets, so the contract is
+    about the INPUT spans, not about restitch)."""
     stitched = restitch.process_spans(spans_df, fanout_threshold=fanout_threshold)
-    assembled = layout.assemble(stitched)
+    assembled = layout.assemble(stitched, dense=dense)
     if not with_structure:
         return assembled
     return structure.with_structure(assembled)

@@ -90,7 +90,18 @@ def main() -> int:
         ok_cols = sorted(scols) == sorted(dcols)
         ok_rows = len(srows) == len(drows)
         ok_hash = ok_cols and value_hash(scols, srows) == value_hash(dcols, drows)
-        status = "OK " if (ok_cols and ok_rows and ok_hash) else "FAIL"
+        # driver-compat guard: the DRIVER canonicalizes with pandas
+        # sort_values, which raises on list/dict cells — a query emitting a
+        # raw array column hash-matches here but is an `err` row in the
+        # driver's gate (round-2 `media_features` red). Flag it as a failure.
+        ok_flat = not any(
+            isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict")
+            for r in srows[:50]
+            for v in r
+        )
+        status = "OK " if (ok_cols and ok_rows and ok_hash and ok_flat) else "FAIL"
+        if not ok_flat:
+            print(f"{name:28s} FAIL driver-incompat: nested (list/struct) column in oracle-checked output")
         print(
             f"{name:28s} {status} rows {len(srows)}/{len(drows)} cols={ok_cols} "
             f"hash={ok_hash} [spark {t_spark:.1f}s duck {t_duck:.1f}s]"
