@@ -1034,8 +1034,28 @@ counted AS (
 ),
 kept AS (SELECT * FROM counted WHERE bucket_n <= {similarity.MAX_BUCKET})"""
 
+    # multi-probe twin: each query also probes band buckets within Hamming
+    # radius MULTIPROBE_RADIUS of its own — bucket strings flipped at the
+    # mask's bit positions, identical to similarity._flip_bits_col (string
+    # ops: bit-exact across engines by construction)
+    _masks_sql = "[" + ",".join(
+        "[" + ",".join(str(p) for p in m) + "]"
+        for m in similarity._probe_masks(
+            similarity.PLANES_PER_BAND, similarity.MULTIPROBE_RADIUS
+        )
+    ) + "]"
+    _probe_bucket = (
+        f"array_to_string(list_transform(range({_ppb}), i -> "
+        "CASE WHEN list_contains(mm.mask, i) THEN "
+        "(CASE WHEN substr(bucket, CAST(i + 1 AS INT), 1) = '1' THEN '0' ELSE '1' END) "
+        "ELSE substr(bucket, CAST(i + 1 AS INT), 1) END), '')"
+    )
     sql["ann_lsh_topk"] = f"""{_kept_cte},
-q AS (SELECT vid AS query_id, vec AS qv, band, bucket FROM kept WHERE vid < 20),
+q AS (
+  SELECT vid AS query_id, vec AS qv, band, {_probe_bucket} AS bucket
+  FROM kept CROSS JOIN unnest({_masks_sql}::INT[][]) AS mm(mask)
+  WHERE vid < 20
+),
 c AS (SELECT vid AS cand_id, vec AS cv, band, bucket FROM kept),
 pairs AS (
   SELECT DISTINCT q.query_id, q.qv, c.cand_id, c.cv

@@ -90,3 +90,44 @@ def test_upsert_replaces_by_doc_id(spark, base_dir):
     stats2 = lineage.upsert_results(spark, new_doc, base_dir)
     assert stats2 == {"inserted": 1, "updated": 0}
     assert spark.read.parquet(f"{base_dir}/results").count() == n + 1
+
+
+def test_remote_base_dir_fails_loudly(spark):
+    """The parquet twin uses os-level renames: a remote URI must raise, not
+    silently report 'no prior commits' (which would reprocess everything and
+    let upsert overwrite the table with just its batch)."""
+    with pytest.raises(ValueError, match="local path"):
+        lineage.committed_doc_ids(spark, "s3://bucket/out")
+    with pytest.raises(ValueError, match="local path"):
+        lineage.upsert_results(spark, synth.corpus_df(spark), "hdfs://nn/out")
+
+
+def test_orphan_metrics_excluded_from_accounting(spark, base_dir):
+    """A crash between the metrics append and the results append leaves a
+    run_id with lineage rows but no completion marker. committed_metrics()
+    must exclude it so doc_count sums stay exact after the resume rerun
+    re-reports those docs."""
+    from pyspark.sql import functions as F
+
+    full = synth.corpus_df(spark)
+    n_total = full.count()
+    lineage.run_extraction(spark, full, base_dir, run_id="run_ok")
+
+    # forge the crash artifact: metrics rows for a run that never committed
+    orphan = (
+        spark.read.parquet(f"{base_dir}/metrics")
+        .limit(1)
+        .withColumn("run_id", F.lit("run_crashed"))
+    )
+    orphan.write.mode("append").parquet(f"{base_dir}/metrics")
+
+    orphans = {r["run_id"] for r in lineage.orphan_metric_runs(spark, base_dir).collect()}
+    assert orphans == {"run_crashed"}
+
+    good = lineage.committed_metrics(spark, base_dir)
+    assert {r["run_id"] for r in good.select("run_id").distinct().collect()} == {"run_ok"}
+    total = good.agg(F.sum("doc_count")).collect()[0][0]
+    assert total == n_total  # raw metrics would double-count the orphan's docs
+
+    raw = spark.read.parquet(f"{base_dir}/metrics").agg(F.sum("doc_count")).collect()[0][0]
+    assert raw > n_total

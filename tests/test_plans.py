@@ -198,3 +198,29 @@ def test_vectorized_ivf_assignment_bit_identical(spark):
     )
     assert diff == 0
     assert vec.count() == emb.count()
+
+
+def test_vectorized_srp_signatures_bit_identical(spark):
+    """The numpy SRP signature twin must emit EXACTLY the HOF's bucket
+    strings for every (row, band) — identical sign bits from the replayed
+    fold — on both the 64-dim embeddings and the 16-dim media features."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import multimodal, similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cases = [
+        (emb, dict(id_col="vec_id", vec_col="embedding", dim=64)),
+        (
+            multimodal.extract_features(docs),
+            dict(id_col="media_ref", vec_col="feature", dim=multimodal.FEATURE_DIM),
+        ),
+    ]
+    for df, kw in cases:
+        hof = similarity.srp_banded_buckets(df, vectorized=False, **kw)
+        vec = similarity.srp_banded_buckets(df, vectorized=True, **kw)
+        n = hof.count()
+        assert vec.count() == n
+        joint = hof.join(vec, ["vid", "band", "bucket"]).count()
+        assert joint == n, f"{n - joint} divergent (row, band) signatures for {kw}"

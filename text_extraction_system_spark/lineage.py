@@ -18,6 +18,12 @@ Output layout under ``base_dir``:
   results/   one row per doc: doc_id, needs_ocr, out_spans, plain_text,
              pages, parse_failures, run_id
   metrics/   LINEAGE rows (schemas.LINEAGE + finished_at)
+  commits/   one completion-marker row per run_id that fully committed —
+             metrics rows without a marker are orphans from a crash in the
+             metrics->results window and are excluded by committed_metrics()
+
+``base_dir`` must be a LOCAL path (the twin uses os-level renames); remote
+URIs fail loudly — see _require_local.
 """
 
 from __future__ import annotations
@@ -43,6 +49,21 @@ def snapshot_id(docs: DataFrame) -> str:
     return hashlib.md5("|".join(files).encode()).hexdigest()[:16]
 
 
+def _require_local(base_dir: str) -> None:
+    """The parquet checkpoint twin manipulates ``base_dir`` with local-FS
+    calls (os.path.exists / os.rename): on a remote URI those silently
+    report 'no table', which would make resume reprocess everything and
+    upsert OVERWRITE the table with just its batch. Fail loudly instead —
+    on a cluster, point this at Iceberg (MERGE INTO / snapshot commits),
+    not at the local-parquet twin."""
+    scheme = base_dir.split("://", 1)[0] if "://" in base_dir else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"lineage base_dir must be a local path (got scheme {scheme!r}: "
+            f"{base_dir!r}); use the Iceberg MERGE path for remote storage"
+        )
+
+
 def _read_results(spark: SparkSession, base_dir: str) -> DataFrame | None:
     """Read the committed results table, or None iff it genuinely does not
     exist. Never swallows read FAILURES: a corrupt/unreadable existing table
@@ -50,6 +71,7 @@ def _read_results(spark: SparkSession, base_dir: str) -> DataFrame | None:
     re-append every doc on resume, or let upsert overwrite the table with
     just its batch). Also recovers a table stranded mid-swap by a crashed
     upsert (results renamed to .old, staging never promoted)."""
+    _require_local(base_dir)
     path = os.path.join(base_dir, "results")
     old = path + ".old"
     if not os.path.exists(path) and os.path.exists(old):
@@ -188,9 +210,10 @@ def run_extraction(
         )
         # metrics are committed BEFORE the results append: a crash in the
         # window between the two leaves an orphan lineage run (a run_id with
-        # metrics but no results rows — detectable, and the resume rerun
-        # writes its own complete accounting), whereas the reverse order
-        # would permanently lose accounting for committed docs.
+        # metrics but no results rows — mechanically excluded by
+        # committed_metrics() via the commits/ marker written last, and the
+        # resume rerun writes its own complete accounting), whereas the
+        # reverse order would permanently lose accounting for committed docs.
         metrics = spark.createDataFrame(metric_rows, schema=_METRIC_AGG_SCHEMA).select(
             F.lit(run_id).alias("run_id"),
             F.lit(snap).alias("snapshot_id"),
@@ -204,6 +227,15 @@ def run_extraction(
         )
         metrics.write.mode("append").parquet(os.path.join(base_dir, "metrics"))
         stamped.drop("partition_id").write.mode("append").parquet(results_path)
+        # completion marker LAST: a run_id present in metrics but absent from
+        # commits/ is mechanically identifiable as an orphan (crashed between
+        # metrics and results) — see committed_metrics(). One tiny row.
+        spark.createDataFrame(
+            [(run_id, snap, sum(r["doc_count"] for r in metric_rows))],
+            schema="run_id string, snapshot_id string, doc_count long",
+        ).withColumn("committed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(os.path.join(base_dir, "commits"))
     finally:
         stamped.unpersist()
 
@@ -215,3 +247,32 @@ def run_extraction(
         "docs_processed": processed,
         "docs_skipped": (total - processed) if total is not None else 0,
     }
+
+
+def committed_metrics(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Metrics restricted to runs whose results append COMMITTED (run_id
+    present in commits/). A crash in the metrics->results window leaves an
+    orphan run_id whose doc_count the resume rerun re-reports; summing raw
+    metrics across run_ids would double-count those docs. Consumers doing
+    accounting must read THIS view, not metrics/ directly."""
+    _require_local(base_dir)
+    metrics = spark.read.parquet(os.path.join(base_dir, "metrics"))
+    commits_path = os.path.join(base_dir, "commits")
+    if not os.path.exists(commits_path):
+        return metrics.limit(0)
+    commits = spark.read.parquet(commits_path).select("run_id").distinct()
+    return metrics.join(F.broadcast(commits), "run_id", "left_semi")
+
+
+def orphan_metric_runs(spark: SparkSession, base_dir: str) -> DataFrame:
+    """run_ids with lineage rows but no completion marker — crashed runs
+    whose accounting must be excluded (their docs are re-reported by the
+    resume run's own complete metrics)."""
+    _require_local(base_dir)
+    metrics = spark.read.parquet(os.path.join(base_dir, "metrics"))
+    runs = metrics.select("run_id").distinct()
+    commits_path = os.path.join(base_dir, "commits")
+    if not os.path.exists(commits_path):
+        return runs
+    commits = spark.read.parquet(commits_path).select("run_id").distinct()
+    return runs.join(F.broadcast(commits), "run_id", "left_anti")

@@ -113,13 +113,19 @@ def lsh_candidate_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
     ).where(F.col("bucket_n") <= MAX_BUCKET)
     # the self-join would otherwise re-execute the whole signature plan for
-    # each branch; at cluster scale you would materialize signatures to a
-    # table instead (same idea, durable). localCheckpoint rather than
-    # persist: cached-plan entries live in the CacheManager until an explicit
-    # unpersist (they leak across repeated invocations — bench/driver loops),
-    # while checkpoint blocks are reference-tracked and freed when the
-    # DataFrame is garbage-collected. eager=False so merely CONSTRUCTING the
-    # DataFrame (explain(), plan tests, bench warm-up wiring) runs no jobs.
+    # each branch. localCheckpoint rather than persist: cached-plan entries
+    # live in the CacheManager until an explicit unpersist (they leak across
+    # repeated invocations — bench/driver loops), while checkpoint blocks
+    # are reference-tracked and freed when the DataFrame is garbage-
+    # collected. eager=False so merely CONSTRUCTING the DataFrame
+    # (explain(), plan tests, bench warm-up wiring) runs no jobs.
+    # TRADE-OFF (not strictly better than persist): localCheckpoint
+    # truncates lineage and its blocks are unreplicated — on a CLUSTER an
+    # executor loss (or dynamic-allocation decommission) makes the job
+    # unrecoverable instead of recomputable. Right for the single-JVM
+    # local/bench path; at cluster scale materialize signatures to a real
+    # table partitioned by (band, band_sig) instead — durable, resumable,
+    # and the join co-locates on the partition key.
     counted = counted.localCheckpoint(eager=False)
     a = counted.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = counted.select("band", "band_sig", F.col("doc_id").alias("doc_b"))

@@ -153,6 +153,62 @@ def srp_band_buckets_col(
     )
 
 
+def _srp_buckets_arr_vectorized(
+    embeddings: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool,
+) -> DataFrame:
+    """(vid[, vec], buckets array<string>) via one numpy Arrow pass —
+    BIT-IDENTICAL to ``srp_band_buckets_col``: the plane dots replay the
+    aggregate fold's multiply/add order dim-major (see
+    assign_cells_vectorized for the technique), and the sign of an identical
+    double is identical. The interpreted HOF form costs
+    n_bands*planes_per_band*dim mult-adds per row in the expression
+    evaluator — the same per-row CPU story as IVF assignment."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    planes = srp_plane_values(dim, n_bands * planes_per_band)
+
+    in_fields = [f for f in embeddings.schema.fields if f.name in (id_col, vec_col)]
+    out_schema = StructType(
+        list(in_fields) + [StructField("buckets", ArrayType(StringType()), False)]
+    )
+    sel = [id_col, vec_col]
+
+    def gen(batches):
+        P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim), exact
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf[sel].copy()
+                out["buckets"] = []
+                yield out
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((X.shape[0], P.shape[0]))
+            for j in range(P.shape[1]):  # dim-major: the fold's add order
+                acc += X[:, j : j + 1] * P[None, :, j]
+            bits = np.where(acc >= 0, "1", "0")  # (n, n_planes) of '0'/'1'
+            out = pdf[sel].copy()
+            out["buckets"] = [
+                [
+                    "".join(row[b * planes_per_band : (b + 1) * planes_per_band])
+                    for b in range(n_bands)
+                ]
+                for row in bits
+            ]
+            yield out
+
+    res = embeddings.select(*sel).mapInPandas(gen, schema=out_schema)
+    if not keep_vec:
+        res = res.drop(vec_col)
+    return res
+
+
 def srp_banded_buckets(
     embeddings: DataFrame,
     n_bands: int = N_BANDS,
@@ -161,31 +217,48 @@ def srp_banded_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(vid, band, bucket[, vec]) rows, degenerate buckets dropped
     (MAX_BUCKET).
 
     The bucket signature is a narrow per-row expression; at 10^12 rows this
     is the table you would materialize once and bucket-partition by
-    (band, bucket)."""
-    cols = [F.col(id_col).alias("vid")]
-    if keep_vec:
-        cols.append(F.col(vec_col).alias("vec"))
-    exploded = embeddings.select(
-        *cols,
-        F.explode(
-            srp_band_buckets_col(F.col(vec_col), n_bands, planes_per_band, dim)
-        ).alias("bb"),
-    ).withColumns(
-        {"band": F.col("bb.band"), "bucket": F.col("bb.bucket")}
-    ).drop("bb")
+    (band, bucket). ``vectorized=True`` (default) computes signatures with
+    the numpy Arrow twin — bit-identical to the HOF (pinned by
+    tests/test_plans.py), minus the interpreted-expression CPU."""
+    if vectorized:
+        arr = _srp_buckets_arr_vectorized(
+            embeddings, n_bands, planes_per_band, dim, id_col, vec_col, keep_vec
+        )
+        cols = [F.col(id_col).alias("vid")]
+        if keep_vec:
+            cols.append(F.col(vec_col).alias("vec"))
+        exploded = arr.select(
+            *cols, F.posexplode("buckets").alias("band", "bucket")
+        )
+    else:
+        cols = [F.col(id_col).alias("vid")]
+        if keep_vec:
+            cols.append(F.col(vec_col).alias("vec"))
+        exploded = embeddings.select(
+            *cols,
+            F.explode(
+                srp_band_buckets_col(F.col(vec_col), n_bands, planes_per_band, dim)
+            ).alias("bb"),
+        ).withColumns(
+            {"band": F.col("bb.band"), "bucket": F.col("bb.bucket")}
+        ).drop("bb")
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     )
     # consumers self-join this table: materialize lazily (first action) so
     # the signature + window plan runs once, not once per join branch —
-    # same shape as dedup.lsh_candidate_pairs; at cluster scale this is the
-    # bucket table you write out and partition by (band, bucket)
+    # same shape as dedup.lsh_candidate_pairs. localCheckpoint blocks are
+    # unreplicated and lineage-truncated: fine single-JVM, but an executor
+    # loss on a cluster is unrecoverable — at cluster scale write the bucket
+    # table out partitioned by (band, bucket) instead (durable, co-located
+    # join); see dedup.lsh_candidate_pairs for the full trade-off note.
     return (
         counted.where(F.col("bucket_n") <= MAX_BUCKET)
         .drop("bucket_n")
@@ -238,6 +311,42 @@ def srp_near_dup_pairs(
     )
 
 
+#: multi-probe Hamming radius for LSH top-k queries (Lv et al., VLDB'07):
+#: each query also probes band buckets within this bit distance of its own.
+#: Radius 2 over 8-plane bands = 37 bucket keys per band per query — the
+#: probe fan-out multiplies only the (tiny, broadcast) QUERY side; candidate
+#: volume stays bounded by MAX_BUCKET per probed key. Measured on the sf0.01
+#: corpus (weak neighbors, top-5 cosine 0.25-0.49): recall@5 0.09 -> 0.74.
+MULTIPROBE_RADIUS = 2
+
+
+def _probe_masks(n_bits: int, radius: int) -> list[tuple[int, ...]]:
+    """All bit-position subsets of size <= radius (incl. the empty probe)."""
+    from itertools import combinations
+
+    return [
+        m for r in range(radius + 1) for m in combinations(range(n_bits), r)
+    ]
+
+
+def _flip_bits_col(bucket: Column, positions: tuple[int, ...], n_bits: int) -> Column:
+    """Bucket string with the given STATIC bit positions flipped — a pure
+    concat-of-substrings expression (positions are plan constants)."""
+    if not positions:
+        return bucket
+    parts: list[Column] = []
+    prev = 0
+    for p in positions:
+        if p > prev:
+            parts.append(F.substring(bucket, prev + 1, p - prev))
+        c = F.substring(bucket, p + 1, 1)
+        parts.append(F.when(c == "1", F.lit("0")).otherwise(F.lit("1")))
+        prev = p + 1
+    if prev < n_bits:
+        parts.append(F.substring(bucket, prev + 1, n_bits - prev))
+    return F.concat(*parts)
+
+
 def srp_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
@@ -247,16 +356,31 @@ def srp_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = MULTIPROBE_RADIUS,
 ) -> DataFrame:
     """Approximate top-k: candidates are vectors sharing at least one band
     bucket with the query (queries broadcast; a pair colliding in several
-    bands is scored once via the max-aggregate — cosine is deterministic per
-    pair, so max == the single score)."""
+    bands/probes is scored once via the max-aggregate — cosine is
+    deterministic per pair, so max == the single score).
+
+    ``multiprobe`` expands each query's bucket keys to Hamming distance <=
+    radius within each band (classic multi-probe LSH): with few bands the
+    single-key recall on weak-similarity corpora is poor, and adding bands
+    multiplies the 10^12-row BUCKET TABLE — probing instead multiplies only
+    the broadcast query keys, which is the scale-correct direction."""
     bb = srp_banded_buckets(
         embeddings, n_bands, planes_per_band, dim, id_col, vec_col, keep_vec=True
     )
+    masks = _probe_masks(planes_per_band, multiprobe)
     qs = bb.where(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), "band", "bucket", F.col("vec").alias("qv")
+        F.col("vid").alias("query_id"),
+        "band",
+        F.explode(
+            F.array(
+                *[_flip_bits_col(F.col("bucket"), m, planes_per_band) for m in masks]
+            )
+        ).alias("bucket"),
+        F.col("vec").alias("qv"),
     )
     cands = bb.select(
         F.col("vid").alias("cand_id"), "band", "bucket", F.col("vec").alias("cv")
