@@ -212,6 +212,21 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(_docs(spark, sf_dir))
 
 
+#: deterministic eval-set selector for the decontamination query: every
+#: 97th doc plays the held-out benchmark, the rest are the training corpus
+DECONTAM_EVAL_MOD = 97
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing word 3-shingles with
+    the (broadcast-small) eval split — the n-gram collision audit an LLM
+    pipeline runs before a data release (operators/dedup.contamination_report)."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    tr = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return dedup.contamination_report(tr, ev)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (broadcast queries)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -498,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "sentences": _q_sentences,
         "near_dup_pairs": _q_near_dup_pairs,
+        "decontaminate": _q_decontaminate,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "sessionize": _q_sessionize,
@@ -984,6 +1000,41 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN sh sa ON p.doc_a = sa.doc_id
 JOIN sh sb ON p.doc_b = sb.doc_id
+"""
+
+    # decontamination twin: same shingle construction + md5-prefix hash as
+    # the dedup family; eval split = doc_id % DECONTAM_EVAL_MOD == 0
+    sql["decontaminate"] = f"""
+WITH t AS (
+  SELECT doc_id AS raw_id, CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT raw_id, doc_id,
+         list_distinct(list_transform(range(len(ws) - {spec.SHINGLE_K - 1}),
+           i -> {_shingle_concat})) AS shingles
+  FROM t WHERE len(ws) >= {spec.SHINGLE_K}
+),
+ev AS (
+  SELECT DISTINCT {_sql_tokhash('s')} AS h
+  FROM (SELECT unnest(shingles) AS s FROM sh WHERE raw_id % {DECONTAM_EVAL_MOD} = 0)
+),
+tr AS (
+  SELECT doc_id, n_shingles, {_sql_tokhash('s')} AS h
+  FROM (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+        FROM sh WHERE raw_id % {DECONTAM_EVAL_MOD} != 0)
+),
+hits AS (
+  SELECT tr.doc_id,
+         CAST(max(tr.n_shingles) AS BIGINT) AS n_shingles,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev ON tr.h = ev.h
+  GROUP BY tr.doc_id
+)
+SELECT doc_id, n_hits, n_shingles,
+       CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+FROM hits WHERE n_hits >= 1
 """
 
     def _dotp(a: str, b: str, dim: int = 64) -> str:

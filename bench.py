@@ -43,6 +43,7 @@ HEADLINE = [
     "media_features",
     "media_near_dup",
     "near_dup_pairs",
+    "decontaminate",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -78,15 +79,23 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     doc_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
 
+    # min-of-2 timed runs after a warm run: single timed runs on this shared
+    # host swing +-40% with CPU steal and JIT warmup (the round-2 bench
+    # "regression" reproduced as pure inter-process variance in a controlled
+    # interleaved worktree A/B — see BENCH.md); the min is the stable
+    # plan-cost signal
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (plan+JIT)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
 

@@ -224,3 +224,33 @@ def test_vectorized_srp_signatures_bit_identical(spark):
         assert vec.count() == n
         joint = hof.join(vec, ["vid", "band", "bucket"]).count()
         assert joint == n, f"{n - joint} divergent (row, band) signatures for {kw}"
+
+
+def test_contamination_report_semantics_and_plan(spark):
+    """Decontamination: a train doc quoting an eval 3-gram is flagged with
+    the exact hit count; disjoint docs are absent; the eval side broadcasts
+    (the benchmark is small by nature — no shuffle of the train corpus
+    against it)."""
+    from pyspark.sql import Row
+
+    from text_extraction_system_spark.operators import dedup
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id="t1", text="alpha beta gamma delta epsilon"),
+            Row(doc_id="t2", text="zeta eta theta iota kappa"),
+            Row(doc_id="t3", text="alpha beta gamma zeta eta theta"),
+        ]
+    )
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id="e1", text="alpha beta gamma delta")]
+    )
+    rep = dedup.contamination_report(train, eval_docs)
+    assert "BroadcastHashJoin" in rep._jdf.queryExecution().executedPlan().toString()
+    rows = {r["doc_id"]: r for r in rep.collect()}
+    # eval shingles: {alpha beta gamma, beta gamma delta}
+    # t1 (3 shingles) hits both; t3 (4 shingles) hits only the first; t2 none
+    assert set(rows) == {"t1", "t3"}
+    assert rows["t1"]["n_hits"] == 2 and rows["t1"]["n_shingles"] == 3
+    assert rows["t3"]["n_hits"] == 1 and rows["t3"]["n_shingles"] == 4
+    assert abs(rows["t1"]["contamination"] - 2 / 3) < 1e-12

@@ -160,3 +160,54 @@ def near_dup_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
             ).alias("jaccard"),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing word k-shingles with
+    an evaluation set (the n-gram collision check every LLM training
+    pipeline runs before a data release).
+
+    Plan shape at 10^12 train docs: the eval side is a BENCHMARK — tiny by
+    nature — so its distinct shingle hashes broadcast; the train side is one
+    narrow explode (doc_id, shingle_hash) with no shuffle until the per-doc
+    hit aggregation, which hashes on doc_id. Only contaminated docs
+    (n_hits >= min_hits) are emitted, so the output is a small report, not a
+    second corpus. Shingle identity = the same FP_HEX_CHARS md5-prefix hash
+    the dedup family uses (deterministic, engine-agnostic; 28-bit space —
+    collisions negligible and identical in any engine).
+
+    Returns (doc_id, n_hits, n_shingles, contamination = n_hits/n_shingles).
+    """
+    from . import textstats
+
+    tr = doc_shingles(train, doc_id_col, text_col).select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    ).select(
+        "doc_id", "n_shingles", textstats.token_hash_col(F.col("s")).alias("h")
+    )
+    ev = (
+        doc_shingles(eval_docs, doc_id_col, text_col)
+        .select(F.explode("shingles").alias("s"))
+        .select(textstats.token_hash_col(F.col("s")).alias("h"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+        .select(
+            "doc_id",
+            "n_hits",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            (F.col("n_hits") / F.col("n_shingles")).cast("double").alias("contamination"),
+        )
+    )
