@@ -32,6 +32,7 @@ from text_extraction_system_spark.operators import (
     tables_op,
     rotation,
     similarity,
+    splits,
     textstats,
 )
 from text_extraction_system_spark.operators import deskew_op, readorder_op, toc
@@ -225,6 +226,32 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
     tr = docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
     return dedup.contamination_report(tr, ev)
+
+
+#: fixed token budget for the packing query (a training-sequence length)
+PACK_BUDGET = 2048
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by seeded md5 threshold —
+    stable under resharding and corpus growth (operators/splits.py)."""
+    return splits.assign_splits(
+        _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+
+
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: docs -> fixed token-budget bins under a
+    deterministic seeded order. The engine runs the two-level distributed
+    prefix sum (n_shards independent sorts); the oracle is the single
+    global-window formulation — identical assignment by construction."""
+    from text_extraction_system_spark.operators import textstats
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return splits.pack_bins(docs, budget=PACK_BUDGET)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": _q_sentences,
         "near_dup_pairs": _q_near_dup_pairs,
         "decontaminate": _q_decontaminate,
+        "split_assign": _q_split_assign,
+        "pack_bins": _q_pack_bins,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "sessionize": _q_sessionize,
@@ -1035,6 +1064,57 @@ hits AS (
 SELECT doc_id, n_hits, n_shingles,
        CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
 FROM hits WHERE n_hits >= 1
+"""
+
+    # split-assignment twin: same md5-prefix integer, same exact integer
+    # thresholds computed from splits.DEFAULT_WEIGHTS
+    def _hex8_int(hexpr: str) -> str:
+        """First 8 hex chars of an ALREADY-hex string expression as an
+        integer (positional arithmetic — no extra md5, unlike _sql_tokhash)."""
+        terms = [
+            f"(strpos('{_HEX}', substr({hexpr}, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+            for j in range(8)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    _sw = splits.DEFAULT_WEIGHTS
+    _sw_total = sum(_sw.values())
+    _sw_items = list(_sw.items())
+    _split_h = _hex8_int("md5('split0:' || CAST(doc_id AS VARCHAR))")
+    _acc = 0.0
+    _cases = []
+    for _name, _w in _sw_items[:-1]:
+        _acc += _w
+        _thr = int(_acc / _sw_total * (1 << 32))
+        _cases.append(f"WHEN {_split_h} < {_thr} THEN '{_name}'")
+    sql["split_assign"] = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CASE {' '.join(_cases)} ELSE '{_sw_items[-1][0]}' END AS split
+FROM documents
+"""
+
+    # packing twin: the single global-window formulation of the two-level
+    # prefix sum (identical assignment — the engine's shard offsets
+    # reconstruct exactly this cumsum under the same (shard, ok) order)
+    _pk_ok = "md5('pack0:' || CAST(doc_id AS VARCHAR))"
+    _pk_shard = f"{_hex8_int(_pk_ok)} % {splits.PACK_SHARDS}"
+    sql["pack_bins"] = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len({_sql_tokens('text')}) AS BIGINT) AS n_tokens,
+         {_pk_ok} AS ok,
+         {_pk_shard} AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY shard, ok, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin
+FROM c
 """
 
     def _dotp(a: str, b: str, dim: int = 64) -> str:

@@ -44,6 +44,8 @@ HEADLINE = [
     "media_near_dup",
     "near_dup_pairs",
     "decontaminate",
+    "split_assign",
+    "pack_bins",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -254,3 +254,72 @@ def test_contamination_report_semantics_and_plan(spark):
     assert rows["t1"]["n_hits"] == 2 and rows["t1"]["n_shingles"] == 3
     assert rows["t3"]["n_hits"] == 1 and rows["t3"]["n_shingles"] == 4
     assert abs(rows["t1"]["contamination"] - 2 / 3) < 1e-12
+
+
+def test_split_assignment_stable_and_distributed(spark):
+    """Split labels are per-doc deterministic (subset invariance: removing
+    docs never reassigns survivors) and roughly follow the weights."""
+    from text_extraction_system_spark.operators import splits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    full = {r["doc_id"]: r["split"] for r in splits.assign_splits(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in splits.assign_splits(docs.limit(250)).collect()
+    }
+    assert all(full[d] == s for d, s in half.items())  # subset invariance
+    n = len(full)
+    n_train = sum(1 for s in full.values() if s == "train")
+    assert n_train / n > 0.9  # 98% weight, small-sample slack
+
+
+def test_pack_bins_matches_global_window_and_fills(spark):
+    """The two-level distributed prefix sum must reproduce the single
+    global-window packing exactly (same (shard, ok) order), bins must be
+    dense from 0, and every bin except the last must reach the budget."""
+    from pyspark.sql.window import Window as W
+
+    from text_extraction_system_spark.operators import splits, textstats
+
+    budget = 500
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin"])
+        for r in splits.pack_bins(docs, budget=budget).collect()
+    }
+    # single-window reference (the oracle formulation), computed in Spark
+    ok = F.md5(F.concat_ws(":", F.lit("pack0"), F.col("doc_id")))
+    ref_df = docs.select(
+        "doc_id",
+        "n_tokens",
+        ok.alias("ok"),
+        (F.conv(F.substring(ok, 1, 8), 16, 10).cast("bigint")
+         % splits.PACK_SHARDS).alias("shard"),
+    ).withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            W.orderBy("shard", "ok", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ref = {
+        r["doc_id"]: (r["n_tokens"], (r["cum"] - r["n_tokens"]) // budget)
+        for r in ref_df.collect()
+    }
+    assert got == ref
+    # fill property: a PREFIX of bins always holds at least its budgets
+    # (individual bins can be light when a straddling doc from the previous
+    # bin consumed part of their range — that doc closes ITS bin instead)
+    per_bin: dict[int, int] = {}
+    for toks, b in got.values():
+        per_bin[b] = per_bin.get(b, 0) + toks
+    bins = sorted(per_bin)
+    assert bins[0] == 0
+    prefix = 0
+    for b in bins[:-1]:
+        prefix += per_bin[b]
+        assert prefix >= (b + 1) * budget
