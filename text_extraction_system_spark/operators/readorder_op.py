@@ -35,8 +35,9 @@ CHAR_W = 8
 _OUT = "doc_id string, reconstructed string, n_columns int"
 
 
-def synth_word_boxes(docs: DataFrame) -> DataFrame:
-    """(doc_id, word, x, y, w, h) rows in md5-scrambled order.
+def _synth_box_structs(docs: DataFrame) -> DataFrame:
+    """(doc_id, boxes array<struct<shuf,word,x,y,w,h>>) in md5-scrambled
+    order — the un-exploded synthesis shared by both reconstruction paths.
 
     Layout: line(i) = i//4; columns split the line range evenly
     (lines_per_col = ceil(total_lines/n_cols)); per-doc column pitch =
@@ -80,9 +81,17 @@ def synth_word_boxes(docs: DataFrame) -> DataFrame:
         )
         return F.array_sort(F.transform(idx, box))  # scrambled by md5 key
 
-    rows = docs.select(
+    return docs.select(
         "doc_id",
-        F.explode(let(textstats.tokens_col(F.col("text")), boxes_of)).alias("b"),
+        let(textstats.tokens_col(F.col("text")), boxes_of).alias("boxes"),
+    )
+
+
+def synth_word_boxes(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, x, y, w, h) rows in md5-scrambled order — the exploded
+    word-box TABLE form (what a PDF parser would emit row-wise)."""
+    rows = _synth_box_structs(docs).select(
+        "doc_id", F.explode("boxes").alias("b")
     )
     return rows.select(
         "doc_id",
@@ -94,10 +103,7 @@ def synth_word_boxes(docs: DataFrame) -> DataFrame:
     )
 
 
-def reconstruct_reading_order(word_boxes: DataFrame, key: str = "doc_id") -> DataFrame:
-    """(key, word, x, y, w, h) rows -> (key, reconstructed, n_columns):
-    column detection + visual ordering per page via core.readorder."""
-
+def _reconstruct_udf():
     def batch(words: pd.Series, xs: pd.Series, ys: pd.Series, ws: pd.Series) -> pd.DataFrame:
         out = {"reconstructed": [], "n_columns": []}
         for wd, x, y, w in zip(words, xs, ys, ws):
@@ -109,7 +115,18 @@ def reconstruct_reading_order(word_boxes: DataFrame, key: str = "doc_id") -> Dat
             out["n_columns"].append(readorder.n_columns(x, w))
         return pd.DataFrame(out)
 
-    udf = F.pandas_udf(batch, "struct<reconstructed:string,n_columns:int>")
+    return F.pandas_udf(batch, "struct<reconstructed:string,n_columns:int>")
+
+
+def reconstruct_reading_order(word_boxes: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, word, x, y, w, h) rows -> (key, reconstructed, n_columns):
+    column detection + visual ordering per page via core.readorder.
+
+    The general operator for an external word-box TABLE: one hash shuffle
+    groups a page's words, then the Arrow UDF reconstructs. When the boxes
+    already live in per-doc arrays, use reconstruct_from_box_arrays — same
+    kernel, zero shuffle."""
+    udf = _reconstruct_udf()
     agg = word_boxes.groupBy(key).agg(
         F.collect_list("word").alias("words"),
         F.collect_list("x").alias("xs"),
@@ -120,6 +137,42 @@ def reconstruct_reading_order(word_boxes: DataFrame, key: str = "doc_id") -> Dat
     return res.select(key, "r.reconstructed", "r.n_columns")
 
 
+def reconstruct_from_box_arrays(arrs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, words, xs, ys, ws) array columns -> (key, reconstructed,
+    n_columns). Shuffle-free twin of reconstruct_reading_order: the kernel
+    is geometric-order-invariant, so rows already holding a doc's boxes as
+    arrays skip the explode -> groupBy(collect_list) round trip entirely
+    (at sf0.1 that round trip shuffled ~2.6M word rows just to re-group
+    them — half the query's cost)."""
+    udf = _reconstruct_udf()
+    res = arrs.select(key, udf("words", "xs", "ys", "ws").alias("r"))
+    return res.select(key, "r.reconstructed", "r.n_columns")
+
+
+def synth_word_box_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, words, xs, ys, ws) — the synthesized scrambled boxes kept in
+    per-doc arrays (no explode), for the shuffle-free reconstruction path."""
+    from .exprutil import let as _let
+
+    boxed = _synth_box_structs(docs)
+    return boxed.select(
+        "doc_id",
+        _let(
+            F.col("boxes"),
+            lambda bs: F.struct(
+                F.transform(bs, lambda b: b["word"]).alias("words"),
+                F.transform(bs, lambda b: b["x"]).alias("xs"),
+                F.transform(bs, lambda b: b["y"]).alias("ys"),
+                F.transform(bs, lambda b: b["w"]).alias("ws"),
+            ),
+        ).alias("c"),
+    ).select("doc_id", "c.words", "c.xs", "c.ys", "c.ws")
+
+
 def reading_order_query(spark, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return reconstruct_reading_order(synth_word_boxes(docs))
+    # zero-token docs have no reading order (the exploded path dropped them
+    # implicitly; the array path must filter). trim(text) != '' is exactly
+    # "has at least one token" and costs nothing vs re-tokenizing.
+    docs = docs.where(F.trim(F.col("text")) != "")
+    return reconstruct_from_box_arrays(synth_word_box_arrays(docs))
