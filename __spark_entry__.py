@@ -231,6 +231,23 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed token budget for the packing query (a training-sequence length)
 PACK_BUDGET = 2048
 
+#: committed-corpus selector + estimate threshold for incremental dedup
+INCR_COMMITTED_MOD = 3
+INCR_THRESHOLD = 0.5
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup (the production shape at 10^12 docs): the NEW batch
+    is signed and joined against the committed corpus's persisted
+    signature_table; duplicates verified by the MinHash sketch estimate —
+    the committed corpus is never re-shingled."""
+    docs = _docs(spark, sf_dir)
+    committed = dedup.signature_table(
+        docs.where(F.col("doc_id") % INCR_COMMITTED_MOD == 0)
+    )
+    new = docs.where(F.col("doc_id") % INCR_COMMITTED_MOD != 0)
+    return dedup.incremental_near_dup(new, committed, est_threshold=INCR_THRESHOLD)
+
 
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by seeded md5 threshold —
@@ -543,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "split_assign": _q_split_assign,
         "pack_bins": _q_pack_bins,
+        "incremental_dedup": _q_incremental_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "sessionize": _q_sessionize,
@@ -1064,6 +1082,64 @@ hits AS (
 SELECT doc_id, n_hits, n_shingles,
        CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
 FROM hits WHERE n_hits >= 1
+"""
+
+    # incremental-dedup twin: the near_dup minhash machinery, split into a
+    # committed side (doc_id % INCR_COMMITTED_MOD == 0) and a batch side,
+    # MAX_BUCKET applied PER SIDE (each table is guarded independently, as
+    # signature_table guards at write time); verify = sketch estimate
+    _perms = spec.MINHASH_PERMS
+    _rpb = spec.MINHASH_PERMS // spec.LSH_BANDS
+    sql["incremental_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id AS raw_id, CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT raw_id, doc_id,
+         list_distinct(list_transform(range(len(ws) - {spec.SHINGLE_K - 1}),
+           i -> {_shingle_concat})) AS shingles
+  FROM t WHERE len(ws) >= {spec.SHINGLE_K}
+),
+mh AS (
+  SELECT raw_id, doc_id,
+         list_transform(range({_perms}),
+           p -> list_min(list_transform(shingles,
+             s -> (({_sql_tokhash('s')} % {spec.MINHASH_MOD})
+                   * ((2*p + 1) * {spec.MINHASH_MULT} % {spec.MINHASH_MOD})
+                   + p) % {spec.MINHASH_MOD}))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT raw_id, doc_id, sig, tt.b AS b,
+         md5(array_to_string(sig[b*{_rpb}+1 : b*{_rpb}+{_rpb}], ',')) AS band_sig
+  FROM mh, unnest(range({spec.LSH_BANDS})) AS tt(b)
+),
+old_k AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY b, band_sig) AS bn
+    FROM bands WHERE raw_id % {INCR_COMMITTED_MOD} = 0) WHERE bn <= {dedup.MAX_BUCKET}
+),
+new_k AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY b, band_sig) AS bn
+    FROM bands WHERE raw_id % {INCR_COMMITTED_MOD} != 0) WHERE bn <= {dedup.MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of,
+         n.sig AS sig_new, o.sig AS sig_old
+  FROM new_k n JOIN old_k o ON n.b = o.b AND n.band_sig = o.band_sig
+),
+est AS (
+  SELECT doc_id, dup_of,
+    CAST(len(list_filter(range({_perms}),
+      i -> sig_new[CAST(i + 1 AS INT)] = sig_old[CAST(i + 1 AS INT)])) AS DOUBLE)
+      / {_perms} AS est_jaccard
+  FROM cand
+)
+SELECT doc_id, dup_of, est_jaccard FROM est
+WHERE est_jaccard >= {INCR_THRESHOLD}e0
 """
 
     # split-assignment twin: same md5-prefix integer, same exact integer

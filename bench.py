@@ -45,6 +45,7 @@ HEADLINE = [
     "near_dup_pairs",
     "decontaminate",
     "split_assign",
+    "incremental_dedup",
     "pack_bins",
     "ann_topk",
     "ann_lsh_topk",

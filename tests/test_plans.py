@@ -323,3 +323,32 @@ def test_pack_bins_matches_global_window_and_fills(spark):
     for b in bins[:-1]:
         prefix += per_bin[b]
         assert prefix >= (b + 1) * budget
+
+
+def test_incremental_dedup_semantics(spark):
+    """Cross-batch dedup: a new doc that is a near-copy of a committed doc is
+    flagged with a high sketch estimate; an unrelated new doc is not; and
+    the committed side is consumed as a SIGNATURE table (no raw text)."""
+    from pyspark.sql import Row
+
+    from text_extraction_system_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to hide from every hunter nearby today"
+    )
+    committed_docs = spark.createDataFrame(
+        [Row(doc_id="old1", text=base), Row(doc_id="old2", text="totally different words entirely here now")]
+    )
+    new_docs = spark.createDataFrame(
+        [
+            Row(doc_id="new1", text=base + " extra tail"),  # near-copy of old1
+            Row(doc_id="new2", text="unrelated content about spark plans and shuffles today"),
+        ]
+    )
+    sigs = dedup.signature_table(committed_docs)
+    assert set(sigs.columns) == {"doc_id", "sig", "band", "band_sig"}
+    rows = dedup.incremental_near_dup(new_docs, sigs).collect()
+    got = {(r["doc_id"], r["dup_of"]): r["est_jaccard"] for r in rows}
+    assert ("new1", "old1") in got and got[("new1", "old1")] >= 0.5
+    assert all(d != "new2" for d, _ in got)

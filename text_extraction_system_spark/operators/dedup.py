@@ -225,3 +225,81 @@ def contamination_report(
             (F.col("n_hits") / F.col("n_shingles")).cast("double").alias("contamination"),
         )
     )
+
+
+def signature_table(docs: DataFrame, doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, sig, band, band_sig) — the persisted dedup state of a
+    committed corpus. At 10^12 docs this table is written ONCE, partitioned
+    by (band, band_sig), and every incoming batch joins against it with
+    partition pruning; the raw text never needs re-shingling. Degenerate
+    buckets are dropped on write (MAX_BUCKET), so batch joins are bounded."""
+    sigs = doc_shingles(docs, doc_id_col, text_col).select(
+        "doc_id",
+        exprutil.let(
+            minhash_sig_col(F.col("shingles")),
+            lambda sig: F.struct(sig.alias("sig"), band_sigs_col(sig).alias("bands")),
+        ).alias("sb"),
+    )
+    exploded = sigs.select(
+        "doc_id", F.col("sb.sig").alias("sig"), F.explode("sb.bands").alias("b")
+    ).select(
+        "doc_id", "sig",
+        F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"),
+    )
+    counted = exploded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
+    )
+    return counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    committed_sigs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-batch near-dup: which NEW docs duplicate an already-committed
+    doc. The production shape of dedup at scale — a batch is signed (narrow,
+    batch-sized) and joined against the committed signature_table; the
+    committed corpus is never re-shingled, and within-batch pairs are the
+    separate near_dup_pairs concern.
+
+    Verification uses the MinHash ESTIMATE (fraction of agreeing signature
+    components — the standard sketch estimator of Jaccard), because at
+    10^12 committed docs the raw shingle sets are not retained. Returns
+    (doc_id, dup_of, est_jaccard) with doc_id from the new batch."""
+    batch = signature_table(new_docs, doc_id_col, text_col).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sig_new"),
+        "band",
+        "band_sig",
+    )
+    old = committed_sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sig").alias("sig_old"),
+        "band",
+        "band_sig",
+    )
+    cand = (
+        batch.join(old, ["band", "band_sig"])
+        .select("new_id", "dup_of", "sig_new", "sig_old")
+        .groupBy("new_id", "dup_of")
+        .agg(F.first("sig_new").alias("sig_new"), F.first("sig_old").alias("sig_old"))
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_new"), F.col("sig_old"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.size(F.col("sig_new"))
+    ).cast("double")
+    return (
+        cand.select(
+            F.col("new_id").alias("doc_id"), "dup_of", est.alias("est_jaccard")
+        )
+        .where(F.col("est_jaccard") >= est_threshold)
+    )
