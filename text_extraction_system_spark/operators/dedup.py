@@ -250,7 +250,15 @@ def signature_table(docs: DataFrame, doc_id_col: str = "doc_id",
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
     )
-    return counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+    # this table IS the persisted dedup state: lazily materialize so repeated
+    # consumers (batch joins, bench reruns) pay the minhash plan once — the
+    # single-JVM stand-in for the cluster's real write-out (see the
+    # localCheckpoint trade-off note in lsh_candidate_pairs)
+    return (
+        counted.where(F.col("bucket_n") <= MAX_BUCKET)
+        .drop("bucket_n")
+        .localCheckpoint(eager=False)
+    )
 
 
 def incremental_near_dup(
