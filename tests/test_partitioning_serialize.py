@@ -110,3 +110,53 @@ def test_curation_funnel_monotone(spark):
     full = curation.funnel(docs).agg({"n_deduped": "sum"}).collect()[0][0]
     # the duplicate (if its original survives the gates) must not add a doc
     assert total_kept == full
+
+
+def test_miniproto_wire_goldens():
+    """Hand-assembled proto2 wire bytes for the contract_pages.proto shapes
+    (StringValue wrapper, varint int32s, little-endian packed floats)."""
+    import struct
+
+    from text_extraction_system_spark.core import miniproto
+
+    # StringValue("en") nested at field 2 of Pages
+    assert miniproto.encode_pages({"language": "en"}) == b"\x12\x04\x0a\x02en"
+    # Page {number=1, start=0, end=7, bbox=[0.0, 1.5] packed}
+    page = miniproto.encode_page({"number": 1, "start": 0, "end": 7, "bbox": [0.0, 1.5]})
+    assert page == (
+        b"\x08\x01\x10\x00\x18\x07"  # three varint int32 fields
+        + b"\x2a\x08" + struct.pack("<2f", 0.0, 1.5)  # field 5, packed
+    )
+    # Sentence {start=3, end=9, language="de"}
+    assert miniproto.encode_text_span({"start": 3, "end": 9, "language": "de"}) == (
+        b"\x08\x03\x10\x09\x1a\x04\x0a\x02de"
+    )
+    # Section with title wrapper at field 3 and level fields
+    sec = miniproto.encode_section(
+        {"start": 0, "end": 5, "title": "A", "title_start": 0,
+         "title_end": 1, "level": 2, "abs_level": 2}
+    )
+    assert sec == b"\x08\x00\x10\x05\x1a\x03\x0a\x01A\x20\x00\x28\x01\x30\x02\x38\x02"
+    # varint multi-byte boundary: 300 = 0xAC 0x02
+    out = bytearray(); miniproto._varint(300, out)
+    assert bytes(out) == b"\xac\x02"
+
+
+def test_protobuf_sink_roundtrip_shape(spark):
+    """The proto sink produces a parseable, non-empty wire message per doc
+    whose embedded language StringValue matches the structure column."""
+    from text_extraction_system_spark import pipeline, synth
+    from text_extraction_system_spark.operators import serialize
+
+    res = pipeline.extract_from_spans(synth.corpus_df(spark).limit(6))
+    from text_extraction_system_spark.operators import structure as structure_op
+
+    res = structure_op.with_structure(res)
+    out = serialize.to_protobuf_column(res).select("doc_id", "structure", "structure_proto").collect()
+    assert out
+    for r in out:
+        blob = bytes(r["structure_proto"])
+        lang = r["structure"]["language"]
+        # field 2 StringValue: tag 0x12, len, inner tag 0x0a, len, utf8
+        marker = b"\x12" + bytes([len(lang) + 2, 0x0A, len(lang)]) + lang.encode()
+        assert marker in blob

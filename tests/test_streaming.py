@@ -205,3 +205,46 @@ def test_curation_stream_matches_batch_survivors(spark, tmp_path):
     batch_kept = curation.funnel(docs).agg(F.sum("n_deduped")).collect()[0][0]
     assert got.count() == batch_kept
     assert got.select("content_hash").distinct().count() == batch_kept
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Stream-static incremental dedup: the streamed batch joined against
+    the committed signature table must flag exactly the pairs the batch
+    operator flags."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import dedup
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    committed_docs = docs.where(F.col("doc_id") % 3 == 0)
+    new_docs = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    new_docs.write.parquet(in_dir)
+
+    sigs = dedup.signature_table(committed_docs)
+    stream = spark.readStream.schema(new_docs.schema).parquet(in_dir)
+    q = (
+        jobs.incremental_dedup_stream(stream, sigs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["dup_of"], round(r["est_jaccard"], 9))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["doc_id"], r["dup_of"], round(r["est_jaccard"], 9))
+        for r in dedup.incremental_near_dup(new_docs, sigs).collect()
+    }
+    assert got == exp

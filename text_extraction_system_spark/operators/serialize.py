@@ -10,10 +10,12 @@ projection —
   the wheel is installed, else the vendored spec-subset packer
   (``core.minipack`` — byte-identical for the DTO types), so the binary
   path always runs in CI
-* protobuf  — not ported: the reference's own perf tests measured protobuf
-  >2x slower to encode than msgpack at >1.5x the size
-  (``test_data_extract.py:198-244``), and a fixed StructType + to_json/
-  msgpack covers both remaining consumers.
+* protobuf  — vendored proto2 wire encoder (``core.miniproto``) matching the
+  reference's ``contract_pages.proto`` message shapes byte-for-byte
+  (golden-tested). Kept OFF the default path: the reference's own perf
+  tests measured protobuf >2x slower to encode than msgpack at >1.5x the
+  size (``test_data_extract.py:198-244``) — but the wire twin exists for
+  consumers that require the contract format.
 """
 
 from __future__ import annotations
@@ -59,6 +61,36 @@ def to_msgpack_column(results: DataFrame, struct_col: str = "structure") -> Data
         for pdf in batches:
             pdf[f"{struct_col}_msgpack"] = [
                 _packb(v, use_single_float=True) for v in pdf[struct_col]
+            ]
+            yield pdf[out_cols]
+
+    return results.mapInPandas(gen, schema=schema)
+
+
+def to_protobuf_column(results: DataFrame, struct_col: str = "structure",
+                       pages_col: str | None = "pages") -> DataFrame:
+    """Append ``<struct_col>_proto`` (binary): the reference's ``Pages``
+    contract message (contract_pages.proto) via Arrow batches and the
+    vendored proto2 encoder. Same mapInPandas shape as the msgpack sink."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..core import miniproto
+
+    out_name = f"{struct_col}_proto"
+    out_cols = [f.name for f in results.schema.fields] + [out_name]
+    schema = StructType(
+        list(results.schema.fields) + [StructField(out_name, BinaryType())]
+    )
+    has_pages = pages_col is not None and pages_col in results.columns
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pages_iter = pdf[pages_col] if has_pages else [()] * len(pdf)
+            pdf[out_name] = [
+                miniproto.encode_pages(s, p if p is not None else ())
+                for s, p in zip(pdf[struct_col], pages_iter)
             ]
             yield pdf[out_cols]
 

@@ -214,3 +214,66 @@ def curation_stream(
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    committed_sigs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    est_threshold: float = 0.5,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-ingest twin of ``dedup.incremental_near_dup``: each
+    arriving doc is MinHash-signed (narrow per-row expressions — stream-
+    safe) and STREAM-STATIC joined against the committed corpus's persisted
+    signature table; matches verified by the sketch estimate.
+
+    No aggregation is needed on the stream: the estimate is identical for
+    every band a pair collides in, so multi-band duplicates are dropped by
+    watermark-bounded key dedup on (doc_id, dup_of) — state stays bounded
+    by (ingest rate x horizon). The static side is the MAX_BUCKET-guarded
+    signature_table, so a micro-batch can never join into a degenerate
+    bucket. Emits (doc_id, dup_of, est_jaccard, ingest_ts)."""
+    from ..operators import dedup, exprutil
+
+    sigs = docs_stream.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        exprutil.let(
+            dedup.minhash_sig_col(dedup.shingles_col(F.col(text_col))),
+            lambda sig: F.struct(
+                sig.alias("sig"), dedup.band_sigs_col(sig).alias("bands")
+            ),
+        ).alias("sb"),
+    ).select(
+        "doc_id", ts_col, F.col("sb.sig").alias("sig_new"),
+        F.explode("sb.bands").alias("b"),
+    ).select(
+        "doc_id", ts_col, "sig_new",
+        F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"),
+    )
+    old = committed_sigs.select(
+        F.col("doc_id").alias("dup_of"),
+        F.col("sig").alias("sig_old"),
+        "band",
+        "band_sig",
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_new"), F.col("sig_old"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.size(F.col("sig_new"))
+    ).cast("double")
+    matched = (
+        sigs.join(old, ["band", "band_sig"])
+        .select("doc_id", "dup_of", est.alias("est_jaccard"), ts_col)
+        .where(F.col("est_jaccard") >= est_threshold)
+    )
+    return matched.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["doc_id", "dup_of"]
+    )
