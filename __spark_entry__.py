@@ -249,6 +249,26 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dup(new, committed, est_threshold=INCR_THRESHOLD)
 
 
+def _q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full data-release composition in one plan: curation gates ->
+    exact dedup -> deterministic split assignment -> training-sequence
+    packing of the train split. One narrow signal pass, the dedup hash
+    shuffle, then the split hash (no shuffle) and the two-level packing
+    prefix sum — the manifest a 10^12-doc release job would write out."""
+    s = curation.doc_signals(_docs(spark, sf_dir))
+    kept = s.where(curation.keep_predicate())
+    canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(canon, ["content_hash", "doc_id"]).select(
+        "doc_id", "source", "n_tokens"
+    )
+    sp = surv.withColumn("split", splits.split_col(F.col("doc_id")))
+    train = sp.where(F.col("split") == "train").select("doc_id", "n_tokens")
+    packed = splits.pack_bins(train, budget=PACK_BUDGET).select("doc_id", "bin")
+    return sp.join(packed, "doc_id", "left").select(
+        "doc_id", "source", "split", "n_tokens", "bin"
+    )
+
+
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by seeded md5 threshold —
     stable under resharding and corpus growth (operators/splits.py)."""
@@ -561,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "pack_bins": _q_pack_bins,
         "incremental_dedup": _q_incremental_dedup,
+        "release_manifest": _q_release_manifest,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "sessionize": _q_sessionize,
@@ -869,7 +890,9 @@ WHERE n > 0  -- zero-token docs emit no word boxes, hence no engine row
     # curation funnel: same language/quality/token expressions as their
     # standalone twins, composed; the quality threshold compares bit-equal
     # doubles so the gate is deterministic across engines
-    sql["curation_funnel"] = f"""
+    # shared curation CTE prefix (t -> m -> f -> kept -> canon): used by the
+    # funnel report twin and the release_manifest twin
+    _cur_cte = f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, lang, text, {toks} AS toks
   FROM documents
@@ -898,7 +921,9 @@ f AS (
   FROM m
 ),
 kept AS (SELECT * FROM f WHERE lang_ok AND q_ok AND tok_ok),
-canon AS (SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY content_hash),
+canon AS (SELECT content_hash, min(doc_id) AS doc_id FROM kept GROUP BY content_hash)"""
+
+    sql["curation_funnel"] = f"""{_cur_cte},
 surv AS (
   SELECT k.source, k.n_tokens FROM kept k JOIN canon c
   ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id
@@ -1191,6 +1216,37 @@ c AS (
 SELECT doc_id, n_tokens,
        CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin
 FROM c
+"""
+
+    # release-manifest twin: curation CTE prefix -> survivor set -> split
+    # CASE -> pack window over the train split only (global formulation of
+    # the engine's two-level prefix sum)
+    sql["release_manifest"] = f"""{_cur_cte},
+surv2 AS (
+  SELECT k.doc_id, k.source, k.n_tokens FROM kept k JOIN canon c
+  ON k.content_hash = c.content_hash AND k.doc_id = c.doc_id
+),
+sp AS (
+  SELECT *, CASE {' '.join(_cases)} ELSE '{_sw_items[-1][0]}' END AS split
+  FROM surv2
+),
+tr AS (
+  SELECT doc_id, n_tokens, {_pk_ok} AS ok, {_pk_shard} AS shard
+  FROM sp WHERE split = 'train'
+),
+c2 AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY shard, ok, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tr
+),
+b AS (
+  SELECT doc_id,
+         CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM c2
+)
+SELECT sp.doc_id, sp.source, sp.split, sp.n_tokens, b.bin
+FROM sp LEFT JOIN b ON sp.doc_id = b.doc_id
 """
 
     def _dotp(a: str, b: str, dim: int = 64) -> str:

@@ -46,6 +46,7 @@ HEADLINE = [
     "decontaminate",
     "split_assign",
     "incremental_dedup",
+    "release_manifest",
     "pack_bins",
     "ann_topk",
     "ann_lsh_topk",

@@ -36,7 +36,7 @@ DOC_ONLY_QUERIES = [
     "plain_text", "pages", "paragraphs", "sentences", "titles", "sections",
     "boilerplate", "token_count", "token_count_bpe", "lang_id", "quality",
     "fingerprint", "simhash", "exact_dedup", "near_dup_pairs", "decontaminate", "split_assign", "pack_bins",
-    "incremental_dedup", "rotation",
+    "incremental_dedup", "release_manifest", "rotation",
     "media_decode", "media_features", "media_near_dup", "tables", "char_coords", "text_coords",
     "coords_text", "sections_toc", "deskew", "reading_order",
     "curation_funnel",
