@@ -352,3 +352,31 @@ def test_incremental_dedup_semantics(spark):
     got = {(r["doc_id"], r["dup_of"]): r["est_jaccard"] for r in rows}
     assert ("new1", "old1") in got and got[("new1", "old1")] >= 0.5
     assert all(d != "new2" for d, _ in got)
+
+
+def test_pack_and_split_invariant_under_partitioning(spark):
+    """Distributed-determinism property: physical layout (partition count,
+    row order) must never change split labels or pack bins — the guarantee
+    that a 1000-executor run and a laptop run emit the same release
+    manifest. Repartitioned/shuffled input must produce identical output."""
+    from text_extraction_system_spark.operators import splits, textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    variants = [
+        docs,
+        docs.repartition(17),
+        docs.repartition(3, "n_tokens").sortWithinPartitions(F.col("doc_id").desc()),
+    ]
+    packs = [
+        {r["doc_id"]: r["bin"] for r in splits.pack_bins(v, budget=777).collect()}
+        for v in variants
+    ]
+    assert packs[0] == packs[1] == packs[2]
+    labels = [
+        {r["doc_id"]: r["split"] for r in splits.assign_splits(v).collect()}
+        for v in variants
+    ]
+    assert labels[0] == labels[1] == labels[2]
