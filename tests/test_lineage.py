@@ -131,3 +131,35 @@ def test_orphan_metrics_excluded_from_accounting(spark, base_dir):
 
     raw = spark.read.parquet(f"{base_dir}/metrics").agg(F.sum("doc_count")).collect()[0][0]
     assert raw > n_total
+
+
+def test_results_presence_counts_as_committed(spark, base_dir):
+    """Crash in the results->commits window: docs ARE in results/ but the
+    marker never landed. Resume skips those docs, so no rerun re-reports
+    their accounting — the run must still count as committed (results/
+    presence is ground truth, the marker is only the fast path)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    full = synth.corpus_df(spark)
+    n_total = full.count()
+    lineage.run_extraction(spark, full, base_dir, run_id="run_nomarker")
+    shutil.rmtree(f"{base_dir}/commits")  # simulate the crash window
+
+    assert lineage.orphan_metric_runs(spark, base_dir).count() == 0
+    good = lineage.committed_metrics(spark, base_dir)
+    assert good.agg(F.sum("doc_count")).collect()[0][0] == n_total
+
+    # and resume still treats the docs as done — the undercount would
+    # otherwise be permanent
+    r2 = lineage.run_extraction(spark, full, base_dir, run_id="run_resume")
+    assert r2["docs_processed"] == 0
+
+
+def test_accounting_on_fresh_base_dir(spark, tmp_path):
+    """Before any run, accounting views return empty frames, not
+    AnalysisException (metrics/ guard parity with commits/)."""
+    fresh = str(tmp_path / "never_written")
+    assert lineage.committed_metrics(spark, fresh).count() == 0
+    assert lineage.orphan_metric_runs(spark, fresh).count() == 0

@@ -140,6 +140,72 @@ def test_miniproto_wire_goldens():
     # varint multi-byte boundary: 300 = 0xAC 0x02
     out = bytearray(); miniproto._varint(300, out)
     assert bytes(out) == b"\xac\x02"
+    # Section positional fields: left=8/top=9 are FLOATS (I32 wire, tags
+    # 0x45/0x4d), page=10 varint (tag 0x50) — contract_pages.proto:32-35
+    sec2 = miniproto.encode_section({"left": 1.5, "top": 2.0, "page": 3})
+    assert sec2 == (
+        b"\x45" + struct.pack("<f", 1.5)
+        + b"\x4d" + struct.pack("<f", 2.0)
+        + b"\x50\x03"
+    )
+    # TableOfContent: title StringValue=1, then four varint int32s (left/top
+    # are int32 here, unlike Section's floats)
+    toc = miniproto.encode_toc_item(
+        {"title": "T", "level": 1, "left": 10, "top": 20, "page": 2}
+    )
+    assert toc == b"\x0a\x03\x0a\x01T\x10\x01\x18\x0a\x20\x14\x28\x02"
+    # Pages.table_of_contents = field 7 (tag 0x3a)
+    pages_msg = miniproto.encode_pages({"table_of_contents": [{"title": "T"}]})
+    assert pages_msg == b"\x3a\x05\x0a\x03\x0a\x01T"
+
+
+def test_miniproto_char_bboxes_goldens():
+    """contract_char_bboxes.proto: each char box wrapped in a Coordinates
+    submessage (packed floats at field 1), __initialised__ bool at field 2 —
+    the wrapping the reference does at tasks.py:500-502."""
+    import struct
+
+    from text_extraction_system_spark.core import miniproto
+
+    # one box [1.0, 2.0, 3.0, 4.0]: Coordinates{coords packed} nested at f1
+    inner = b"\x0a\x10" + struct.pack("<4f", 1.0, 2.0, 3.0, 4.0)
+    one = miniproto.encode_char_bboxes([[1.0, 2.0, 3.0, 4.0]])
+    assert one == b"\x0a" + bytes([len(inner)]) + inner
+    # empty box list + __initialised__=True -> just the bool field
+    assert miniproto.encode_char_bboxes([], initialised=True) == b"\x10\x01"
+    # empty Coordinates row still emits an (empty) submessage, like protoc
+    assert miniproto.encode_char_bboxes([[]]) == b"\x0a\x00"
+
+
+def test_char_bboxes_proto_sink(spark):
+    """The pdf-coordinates proto sink emits one CharBboxes message per doc
+    with exactly len(plain_text) Coordinates rows (the reference invariant:
+    one bbox per char)."""
+    from text_extraction_system_spark import pipeline, synth
+    from text_extraction_system_spark.operators import coords, serialize
+
+    res = coords.with_char_boxes(
+        pipeline.extract_from_spans(synth.corpus_df(spark).limit(4))
+    )
+    rows = serialize.to_char_bboxes_proto_column(res).select(
+        "doc_id", "plain_text", "char_bboxes", "char_bboxes_proto"
+    ).collect()
+    assert rows
+    for r in rows:
+        blob = bytes(r["char_bboxes_proto"])
+        assert blob.endswith(b"\x10\x01")  # __initialised__=True, field 2
+        # count Coordinates submessages at field 1 by walking the wire
+        n, i = 0, 0
+        while i < len(blob) - 2:  # stop before the trailing bool field
+            assert blob[i] == 0x0A
+            ln, shift, i = 0, 0, i + 1
+            while True:
+                b = blob[i]; i += 1
+                ln |= (b & 0x7F) << shift; shift += 7
+                if not (b & 0x80):
+                    break
+            i += ln; n += 1
+        assert n == len(r["plain_text"]) == len(r["char_bboxes"])
 
 
 def test_protobuf_sink_roundtrip_shape(spark):
@@ -160,3 +226,31 @@ def test_protobuf_sink_roundtrip_shape(spark):
         # field 2 StringValue: tag 0x12, len, inner tag 0x0a, len, utf8
         marker = b"\x12" + bytes([len(lang) + 2, 0x0A, len(lang)]) + lang.encode()
         assert marker in blob
+
+
+def test_protobuf_sink_emits_toc(spark):
+    """A table_of_contents array column (the toc operator's rows gathered
+    per doc) reaches the wire as Pages field 7."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark import pipeline, synth
+    from text_extraction_system_spark.operators import serialize, structure as structure_op, toc
+
+    res = structure_op.with_structure(
+        pipeline.extract_from_spans(synth.corpus_df(spark))
+    )
+    toc_rows = toc.toc_section_rows(res).groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("title"), F.col("level"))).alias("table_of_contents")
+    )
+    withtoc = res.join(toc_rows, "doc_id")  # inner: only docs WITH a toc
+    rows = serialize.to_protobuf_column(withtoc).select(
+        "table_of_contents", "structure_proto"
+    ).collect()
+    assert rows
+    for r in rows:
+        blob = bytes(r["structure_proto"])
+        title = r["table_of_contents"][0]["title"]
+        # field 7 (tag 0x3a) submessage starting with the title StringValue
+        inner = b"\x0a" + bytes([len(title) + 2, 0x0A, len(title)]) + title.encode()
+        assert (b"\x3a" + bytes([len(inner) + 2]) + inner in blob  # + level field
+                or b"\x3a" + bytes([len(inner)]) + inner in blob)  # level absent

@@ -4,17 +4,27 @@ leg; reference ``tasks.py:464-508``) is a real, CI-exercised code path even
 though no protobuf wheel is installed in this container.
 
 Message shapes mirror the reference's
-``text_extraction_system_api/proto_files/contract_pages.proto`` exactly:
+``text_extraction_system_api/proto_files/contract_pages.proto`` and
+``contract_char_bboxes.proto`` exactly:
 
     Pages    { StringValue title=1; StringValue language=2;
                repeated Page pages=3; repeated Sentence sentences=4;
-               repeated Paragraph paragraphs=5; repeated Section sections=6; }
+               repeated Paragraph paragraphs=5; repeated Section sections=6;
+               repeated TableOfContent table_of_contents=7; }
     Page     { int32 number=1; int32 start=2; int32 end=3;
                float rotation=4; repeated float bbox=5 [packed]; }
     Sentence/Paragraph { int32 start=1; int32 end=2; StringValue language=3; }
     Section  { int32 start=1; int32 end=2; StringValue title=3;
                int32 title_start=4; int32 title_end=5; int32 level=6;
-               int32 abs_level=7; }
+               int32 abs_level=7; float left=8; float top=9; int32 page=10; }
+    TableOfContent { StringValue title=1; int32 level=2; int32 left=3;
+               int32 top=4; int32 page=5; }
+    Coordinates { repeated float coords=1 [packed]; }
+    CharBboxes { repeated Coordinates char_bboxes=1; bool __initialised__=2; }
+
+(CharBboxes is the pdf-coordinates leg: the reference wraps each char's
+[x, y, w, h] row in a Coordinates submessage before serializing —
+``tasks.py:500-502`` — fed here from ``coords.with_char_boxes``.)
 
 Encoding follows the public protobuf wire spec (varints, little-endian
 32-bit floats, length-delimited submessages, packed repeated floats), fields
@@ -119,6 +129,23 @@ def encode_section(sec: Mapping) -> bytes:
                        (6, "level"), (7, "abs_level")):
         if sec.get(key) is not None:
             _int32(field, sec[key], out)
+    for field, key in ((8, "left"), (9, "top")):
+        if sec.get(key) is not None:
+            _float(field, float(sec[key]), out)
+    if sec.get("page") is not None:
+        _int32(10, sec["page"], out)
+    return bytes(out)
+
+
+def encode_toc_item(item: Mapping) -> bytes:
+    """TableOfContent: title=1 (StringValue), level=2, left=3, top=4,
+    page=5 — left/top are int32 here (unlike Section's floats), per the
+    reference schema."""
+    out = bytearray()
+    _string_value(1, item.get("title"), out)
+    for field, key in ((2, "level"), (3, "left"), (4, "top"), (5, "page")):
+        if item.get(key) is not None:
+            _int32(field, item[key], out)
     return bytes(out)
 
 
@@ -140,4 +167,24 @@ def encode_pages(structure: Mapping, pages: Sequence[Mapping] = ()) -> bytes:
         _bytes(5, encode_text_span(p), out)
     for s in seq(structure.get("sections")):
         _bytes(6, encode_section(s), out)
+    for t in seq(structure.get("table_of_contents")):
+        _bytes(7, encode_toc_item(t), out)
+    return bytes(out)
+
+
+def encode_char_bboxes(boxes: Sequence[Sequence[float]] | None,
+                       initialised: bool | None = None) -> bytes:
+    """``contract_char_bboxes.proto`` CharBboxes: one Coordinates submessage
+    (packed floats, field 1) per char box, plus the reference DTO's
+    ``__initialised__`` flag (field 2) when present — the exact wrapping the
+    reference performs at ``tasks.py:500-502``."""
+    out = bytearray()
+    if boxes is not None:
+        for row in boxes:
+            inner = bytearray()
+            _packed_floats(1, row, inner)
+            _bytes(1, bytes(inner), out)
+    if initialised is not None:
+        _tag(2, _VARINT, out)
+        _varint(1 if initialised else 0, out)
     return bytes(out)

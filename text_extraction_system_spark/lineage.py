@@ -18,9 +18,12 @@ Output layout under ``base_dir``:
   results/   one row per doc: doc_id, needs_ocr, out_spans, plain_text,
              pages, parse_failures, run_id
   metrics/   LINEAGE rows (schemas.LINEAGE + finished_at)
-  commits/   one completion-marker row per run_id that fully committed —
-             metrics rows without a marker are orphans from a crash in the
-             metrics->results window and are excluded by committed_metrics()
+  commits/   one completion-marker row per run_id that fully committed.
+             A run counts as committed when its marker exists OR its rows
+             are present in results/ (covers a crash between the results
+             append and the marker write); metrics rows from runs with
+             neither are orphans from a crash in the metrics->results
+             window and are excluded by committed_metrics()
 
 ``base_dir`` must be a LOCAL path (the twin uses os-level renames); remote
 URIs fail loudly — see _require_local.
@@ -249,30 +252,66 @@ def run_extraction(
     }
 
 
-def committed_metrics(spark: SparkSession, base_dir: str) -> DataFrame:
-    """Metrics restricted to runs whose results append COMMITTED (run_id
-    present in commits/). A crash in the metrics->results window leaves an
-    orphan run_id whose doc_count the resume rerun re-reports; summing raw
-    metrics across run_ids would double-count those docs. Consumers doing
-    accounting must read THIS view, not metrics/ directly."""
-    _require_local(base_dir)
-    metrics = spark.read.parquet(os.path.join(base_dir, "metrics"))
+_METRICS_SCHEMA = (
+    "run_id string, snapshot_id string, partition_id int, doc_count long, "
+    "span_count long, byte_count long, failure_count long, "
+    "failure_codes array<string>, finished_at timestamp"
+)
+
+
+def _read_metrics(spark: SparkSession, base_dir: str) -> DataFrame:
+    """metrics/ with an existence guard (same treatment as commits/): a
+    fresh base_dir returns an empty frame with the metrics schema instead
+    of raising AnalysisException."""
+    path = os.path.join(base_dir, "metrics")
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema=_METRICS_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def _committed_run_ids(spark: SparkSession, base_dir: str) -> DataFrame:
+    """run_ids whose results append is durably visible. A run is committed
+    iff its marker is in commits/ OR its rows are present in results/: a
+    crash in the results->commits window leaves docs committed in results/
+    with no marker, and because resume skips those docs no rerun ever
+    re-reports their accounting — marker-only detection would undercount
+    them forever. results/ presence is ground truth; the marker is the
+    cheap fast path. The results probe is a single-column (run_id) pruned
+    parquet scan and only runs for accounting queries; on Iceberg the same
+    set comes free from snapshot summary metadata."""
+    parts = []
     commits_path = os.path.join(base_dir, "commits")
-    if not os.path.exists(commits_path):
-        return metrics.limit(0)
-    commits = spark.read.parquet(commits_path).select("run_id").distinct()
-    return metrics.join(F.broadcast(commits), "run_id", "left_semi")
+    if os.path.exists(commits_path):
+        parts.append(spark.read.parquet(commits_path).select("run_id"))
+    results = _read_results(spark, base_dir)
+    if results is not None:
+        parts.append(results.select("run_id"))
+    if not parts:
+        return spark.createDataFrame([], schema="run_id string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def committed_metrics(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Metrics restricted to runs whose results append COMMITTED (marker in
+    commits/ or rows in results/ — see _committed_run_ids). A crash in the
+    metrics->results window leaves an orphan run_id whose doc_count the
+    resume rerun re-reports; summing raw metrics across run_ids would
+    double-count those docs. Consumers doing accounting must read THIS
+    view, not metrics/ directly."""
+    _require_local(base_dir)
+    metrics = _read_metrics(spark, base_dir)
+    committed = _committed_run_ids(spark, base_dir)
+    return metrics.join(F.broadcast(committed), "run_id", "left_semi")
 
 
 def orphan_metric_runs(spark: SparkSession, base_dir: str) -> DataFrame:
-    """run_ids with lineage rows but no completion marker — crashed runs
-    whose accounting must be excluded (their docs are re-reported by the
-    resume run's own complete metrics)."""
+    """run_ids with lineage rows but neither a completion marker nor rows
+    in results/ — crashed runs whose accounting must be excluded (their
+    docs are re-reported by the resume run's own complete metrics)."""
     _require_local(base_dir)
-    metrics = spark.read.parquet(os.path.join(base_dir, "metrics"))
-    runs = metrics.select("run_id").distinct()
-    commits_path = os.path.join(base_dir, "commits")
-    if not os.path.exists(commits_path):
-        return runs
-    commits = spark.read.parquet(commits_path).select("run_id").distinct()
-    return runs.join(F.broadcast(commits), "run_id", "left_anti")
+    runs = _read_metrics(spark, base_dir).select("run_id").distinct()
+    committed = _committed_run_ids(spark, base_dir)
+    return runs.join(F.broadcast(committed), "run_id", "left_anti")

@@ -68,10 +68,14 @@ def to_msgpack_column(results: DataFrame, struct_col: str = "structure") -> Data
 
 
 def to_protobuf_column(results: DataFrame, struct_col: str = "structure",
-                       pages_col: str | None = "pages") -> DataFrame:
+                       pages_col: str | None = "pages",
+                       toc_col: str | None = "table_of_contents") -> DataFrame:
     """Append ``<struct_col>_proto`` (binary): the reference's ``Pages``
     contract message (contract_pages.proto) via Arrow batches and the
-    vendored proto2 encoder. Same mapInPandas shape as the msgpack sink."""
+    vendored proto2 encoder. Same mapInPandas shape as the msgpack sink.
+    When a ``toc_col`` array column is present (e.g. the toc operator's rows
+    collected per doc), its items are emitted as ``table_of_contents``
+    (field 7) alongside the structure's own segments."""
     import pandas as pd
 
     from pyspark.sql.types import BinaryType, StructField, StructType
@@ -84,13 +88,47 @@ def to_protobuf_column(results: DataFrame, struct_col: str = "structure",
         list(results.schema.fields) + [StructField(out_name, BinaryType())]
     )
     has_pages = pages_col is not None and pages_col in results.columns
+    has_toc = toc_col is not None and toc_col in results.columns
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             pages_iter = pdf[pages_col] if has_pages else [()] * len(pdf)
+            toc_iter = pdf[toc_col] if has_toc else [None] * len(pdf)
+            blobs = []
+            for s, p, t in zip(pdf[struct_col], pages_iter, toc_iter):
+                if t is not None and len(t):
+                    s = dict(s)
+                    s["table_of_contents"] = t
+                blobs.append(miniproto.encode_pages(s, p if p is not None else ()))
+            pdf[out_name] = blobs
+            yield pdf[out_cols]
+
+    return results.mapInPandas(gen, schema=schema)
+
+
+def to_char_bboxes_proto_column(results: DataFrame,
+                                bboxes_col: str = "char_bboxes") -> DataFrame:
+    """Append ``<bboxes_col>_proto`` (binary): the reference's pdf-coordinates
+    leg (``contract_char_bboxes.proto`` CharBboxes, encoded at
+    ``tasks.py:490-508``) from the ``coords.with_char_boxes`` array column.
+    The reference DTO always serializes with ``__initialised__=True``."""
+    import pandas as pd
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from ..core import miniproto
+
+    out_name = f"{bboxes_col}_proto"
+    out_cols = [f.name for f in results.schema.fields] + [out_name]
+    schema = StructType(
+        list(results.schema.fields) + [StructField(out_name, BinaryType())]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
             pdf[out_name] = [
-                miniproto.encode_pages(s, p if p is not None else ())
-                for s, p in zip(pdf[struct_col], pages_iter)
+                miniproto.encode_char_bboxes(b, initialised=True)
+                for b in pdf[bboxes_col]
             ]
             yield pdf[out_cols]
 

@@ -93,11 +93,14 @@ def main() -> int:
         # driver-compat guard: the DRIVER canonicalizes with pandas
         # sort_values, which raises on list/dict cells — a query emitting a
         # raw array column hash-matches here but is an `err` row in the
-        # driver's gate (round-2 `media_features` red). Flag it as a failure.
+        # driver's gate (round-2 `media_features` red). Check the SCHEMA,
+        # not sampled values: a nested column whose leading rows are NULL
+        # would slip past any row sample.
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
         ok_flat = not any(
-            isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict")
-            for r in srows[:50]
-            for v in r
+            isinstance(f.dataType, (ArrayType, MapType, StructType))
+            for f in sdf.schema.fields
         )
         status = "OK " if (ok_cols and ok_rows and ok_hash and ok_flat) else "FAIL"
         if not ok_flat:
