@@ -55,3 +55,48 @@ def test_box_stats_match_bruteforce():
     assert st_["n_boxes"] == len(ex.plain_text)
     assert st_["n_zero"] == sum(1 for c in ex.plain_text if c in "\n\f")
     assert st_["sum_x"] == int(boxes[:, 0].sum())
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="ab cd. ", min_size=0, max_size=200), max_size=6))
+def test_batch_boxes_match_per_doc(texts):
+    """BatchBoxes == per-doc char_boxes row-for-row, and its printable runs
+    == textseg.paragraph_spans per doc (the batched coords kernels rest on
+    both equalities)."""
+    from text_extraction_system_spark.core import textseg
+
+    exs = [oracle.extract(f"d{i}", t) for i, t in enumerate(texts)]
+    docs_text = [e.plain_text for e in exs]
+    bounds = [[(p["start"], p["end"]) for p in e.pages] for e in exs]
+    bb = charboxes.BatchBoxes(docs_text, bounds)
+    per_doc = [charboxes.char_boxes(t, b) for t, b in zip(docs_text, bounds)]
+    stacked = (np.concatenate(per_doc) if per_doc
+               else np.zeros((0, 4), np.float32))
+    assert bb.boxes.shape == stacked.shape
+    assert np.array_equal(bb.boxes, stacked)
+
+    starts, ends, docs = bb.runs(bb.printable)
+    got: dict[int, list] = {}
+    for s, e, d in zip(starts, ends, docs):
+        off = bb.doc_off[d]
+        got.setdefault(int(d), []).append((int(s - off), int(e - off)))
+    for i, t in enumerate(docs_text):
+        assert got.get(i, []) == textseg.paragraph_spans(t)
+
+
+def test_batch_boxes_rejects_untiled_pages():
+    import pytest
+
+    with pytest.raises(ValueError, match="page bounds"):
+        charboxes.BatchBoxes(["abcdef"], [[(0, 3)]])
+
+
+def test_batch_doc_sums_exact_at_scale():
+    """int64 cumsum keeps sums exact where float32 accumulation would not
+    (one long doc pushes the cumulative x past 2^24)."""
+    text = ("x" * 3000 + "\n") * 800  # 2.4M printable chars, one page
+    bounds = [[(0, len(text))]]
+    bb = charboxes.BatchBoxes([text], bounds)
+    got = int(bb.doc_sums(bb.boxes[:, 0])[0])
+    # per line: sum of 8*col for col in range(3000)
+    assert got == 800 * (8 * 3000 * 2999 // 2)

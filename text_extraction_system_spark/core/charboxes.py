@@ -57,6 +57,101 @@ def char_boxes(plain_text: str, page_bounds: list[tuple[int, int]]) -> np.ndarra
     return np.concatenate(parts) if parts else np.zeros((0, 4), dtype=np.float32)
 
 
+class BatchBoxes:
+    """Char boxes for a whole Arrow batch of documents in ONE numpy pass.
+
+    Concatenates every doc's plain text, then computes the same per-page
+    monospace layout as ``char_boxes_page`` with page resets expressed as
+    forward-filled bases (``np.maximum.accumulate`` over values seeded at
+    page/line starts — valid because the underlying cumsums are
+    nondecreasing). Replaces the python-per-document ``char_boxes`` calls
+    that dominated the coordinate queries (~1 python frame per page per doc
+    -> 3 numpy passes per BATCH).
+
+    Attributes:
+      boxes     (L, 4) float32 — concatenated char boxes, identical row-for-
+                row to per-doc ``char_boxes`` output (pinned by pytest)
+      doc_off   (n_docs + 1,) int64 — global char offset of each doc
+      printable (L,) bool — chars with a nonzero box
+    """
+
+    def __init__(self, texts: list[str], bounds_list: list[list[tuple[int, int]]]):
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        self.doc_off = np.concatenate(([0], np.cumsum(lens)))
+        n = int(self.doc_off[-1])
+        self.boxes = np.zeros((n, 4), dtype=np.float32)
+        self.printable = np.zeros(n, dtype=bool)
+        if n == 0:
+            return
+        all_text = "".join(texts)
+        codes = np.frombuffer(all_text.encode("utf-32-le"), dtype=np.uint32)
+        nl = codes == 10
+        ff = codes == 12
+        printable = ~(nl | ff)
+        self.printable = printable
+
+        # global page-start indices (each doc's bounds shifted by its offset)
+        page_starts: list[int] = []
+        for off, bounds, tlen in zip(self.doc_off[:-1], bounds_list, lens):
+            covered = 0
+            for s, e in bounds:
+                page_starts.append(int(off) + s)
+                covered += e - s
+            # the layout invariant every offset computation rests on: pages
+            # tile the text exactly (len(text) == len(char_bboxes))
+            if covered != tlen:
+                raise ValueError(
+                    f"page bounds cover {covered} chars of a {tlen}-char doc"
+                )
+        ps = np.asarray(page_starts, dtype=np.int64)
+        ps = ps[ps < n]  # empty trailing pages have no chars to mark
+
+        # line index, reset at page starts: gline - gline[its page start]
+        gline = np.cumsum(nl) - nl
+        seed = np.full(n, -1, dtype=np.int64)
+        seed[ps] = gline[ps]
+        line = gline - np.maximum.accumulate(seed)
+
+        # column, reset at line starts (= page starts + chars after a '\n')
+        c = np.cumsum(printable)
+        col_excl = c - printable
+        is_line_start = np.zeros(n, dtype=bool)
+        is_line_start[ps] = True
+        after_nl = np.flatnonzero(nl) + 1
+        is_line_start[after_nl[after_nl < n]] = True
+        seed2 = np.full(n, -1, dtype=np.int64)
+        seed2[is_line_start] = col_excl[is_line_start]
+        col = col_excl - np.maximum.accumulate(seed2)
+
+        self.boxes[printable, 0] = CHAR_W * col[printable]
+        self.boxes[printable, 1] = CHAR_H * line[printable]
+        self.boxes[printable, 2] = CHAR_W
+        self.boxes[printable, 3] = CHAR_H
+
+    def runs(self, mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Maximal runs of ``mask`` (global [start, end) pairs + doc index),
+        never crossing a document boundary."""
+        n = len(mask)
+        doc_starts = self.doc_off[:-1]
+        doc_starts = doc_starts[doc_starts < n]
+        prev = np.concatenate(([False], mask[:-1]))
+        prev[doc_starts] = False
+        starts = np.flatnonzero(mask & ~prev)
+        nxt = np.concatenate((mask[1:], [False]))
+        inner_starts = doc_starts[doc_starts > 0]
+        nxt[inner_starts - 1] = False
+        ends = np.flatnonzero(mask & ~nxt) + 1
+        docs = np.searchsorted(self.doc_off, starts, side="right") - 1
+        return starts, ends, docs
+
+    def doc_sums(self, values: np.ndarray) -> np.ndarray:
+        """Per-document sums of a per-char int array (exact int64 cumsum +
+        difference at doc offsets — float32 accumulation over a whole batch
+        would lose integer exactness past 2^24)."""
+        cs = np.concatenate(([0], np.cumsum(values.astype(np.int64))))
+        return cs[self.doc_off[1:]] - cs[self.doc_off[:-1]]
+
+
 def box_stats(boxes: np.ndarray) -> dict:
     """Aggregates used by the oracle-checked query: counts + coordinate sums
     (exact integers — CHAR_W/CHAR_H are integral)."""

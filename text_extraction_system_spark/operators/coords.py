@@ -4,12 +4,20 @@
 ``array<array<float>>`` column via Arrow batches (``dto.py:168-173``); the
 ``char_coord_stats`` rows feed the oracle-checked query (the full box array
 is validated by pytest invariants, the aggregates by DuckDB).
+
+All four operators run the batched kernel (``charboxes.BatchBoxes``): one
+numpy pass over the concatenation of the whole Arrow batch's texts instead
+of python-per-document / python-per-paragraph loops — the per-paragraph
+``line_areas`` calls alone were ~60% of the text_coords query's wall time.
+The batched outputs are pinned row-for-row against the per-doc kernels by
+pytest (tests/test_charboxes.py, tests/test_geometry.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -24,6 +32,11 @@ def _bounds(pages: list) -> list[tuple[int, int]]:
     return [(p["start"], p["end"]) for p in pages]
 
 
+def _batch(pdf: pd.DataFrame) -> tuple[list[str], charboxes.BatchBoxes]:
+    texts = [t or "" for t in pdf["plain_text"]]
+    return texts, charboxes.BatchBoxes(texts, [_bounds(p) for p in pdf["pages"]])
+
+
 def char_coord_stats(assembled: DataFrame) -> DataFrame:
     """Per-doc char-box aggregates (len(text)==len(boxes) is part of the
     emitted data: n_chars vs n_boxes)."""
@@ -31,14 +44,18 @@ def char_coord_stats(assembled: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "n_chars", "n_boxes", "n_zero", "sum_x", "sum_y"]
         for pdf in batches:
-            rows = []
-            for doc_id, text, pages in zip(pdf["doc_id"], pdf["plain_text"], pdf["pages"]):
-                t = text or ""
-                boxes = charboxes.char_boxes(t, _bounds(pages))
-                st = charboxes.box_stats(boxes)
-                rows.append((doc_id, len(t), st["n_boxes"], st["n_zero"],
-                             st["sum_x"], st["sum_y"]))
-            yield pd.DataFrame(rows, columns=cols)
+            texts, bb = _batch(pdf)
+            n = bb.doc_off[1:] - bb.doc_off[:-1]
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_chars": n,
+                "n_boxes": n,  # the invariant: one box per char
+                "n_zero": bb.doc_sums(~bb.printable),
+                # box coords are integral multiples of CHAR_W/H — exact int64
+                "sum_x": bb.doc_sums(bb.boxes[:, 0]),
+                "sum_y": bb.doc_sums(bb.boxes[:, 1]),
+            })
+            yield out[cols]
 
     return assembled.select("doc_id", "plain_text", "pages").mapInPandas(
         gen, schema=CHAR_STATS_SCHEMA
@@ -57,29 +74,33 @@ COORDS_TEXT_SCHEMA = "doc_id string, sel_start long, sel_end long, sel_text stri
 
 def text_to_coords(assembled: DataFrame) -> DataFrame:
     """J6 text->coords: every paragraph's char span -> merged per-line
-    rectangles via geometry.line_areas over the char-box map (reference
-    ``text_coord_map.py:41-150``). On the monospace layout each paragraph is
-    one line, so exactly one rect per paragraph — which is what makes the
-    query SQL-oracle-checkable (CHAR_W/CHAR_H are integral -> exact bigints)."""
-    from ..core import geometry, textseg
+    rectangles (reference ``text_coord_map.py:41-150``). A paragraph is a
+    maximal run containing no '\\n'/'\\f' (textseg.paragraph_spans), so every
+    char in it is printable and on ONE line of one page — the merged rect is
+    (first x, line y, last x + CHAR_W - first x, CHAR_H), computed for ALL
+    paragraphs of the batch by indexing the run endpoints (equality with the
+    per-paragraph ``geometry.line_areas`` path is pinned by pytest). Integral
+    CHAR_W/CHAR_H keep the emitted coords exact bigints (SQL-oracle-checkable).
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "par_start", "par_end", "x", "y", "w", "h"]
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in cols}
-            for doc_id, text, pages in zip(pdf["doc_id"], pdf["plain_text"], pdf["pages"]):
-                t = text or ""
-                boxes = charboxes.char_boxes(t, _bounds(pages))
-                for s, e in textseg.paragraph_spans(t):
-                    for (x, y, w, h) in geometry.line_areas(boxes, s, e):
-                        out["doc_id"].append(doc_id)
-                        out["par_start"].append(s)
-                        out["par_end"].append(e)
-                        out["x"].append(int(x))
-                        out["y"].append(int(y))
-                        out["w"].append(int(w))
-                        out["h"].append(int(h))
-            yield pd.DataFrame(out, columns=cols)
+            texts, bb = _batch(pdf)
+            starts, ends, docs = bb.runs(bb.printable)
+            x0 = bb.boxes[starts, 0].astype(np.int64)
+            y0 = bb.boxes[starts, 1].astype(np.int64)
+            x1 = (bb.boxes[ends - 1, 0] + bb.boxes[ends - 1, 2]).astype(np.int64)
+            off = bb.doc_off[docs]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[docs],
+                "par_start": starts - off,
+                "par_end": ends - off,
+                "x": x0,
+                "y": y0,
+                "w": x1 - x0,
+                "h": np.full(len(starts), int(charboxes.CHAR_H), dtype=np.int64),
+            })[cols]
 
     return assembled.select("doc_id", "plain_text", "pages").mapInPandas(
         gen, schema=TEXT_COORDS_SCHEMA
@@ -91,25 +112,37 @@ def coords_to_text(assembled: DataFrame) -> DataFrame:
     SELECTION_AREA (>= 20% of each char's own box) and its text — reference
     ``coord_text_map.py:96-128`` find_longest_location. Separator chars have
     zero boxes, so runs never cross lines; the area covers page-local lines
-    1-2 of every page, and the winner is the longest such line (earliest on
-    ties, matching argmax-first semantics)."""
+    1-2 of every page, and the winner is the longest such run (earliest on
+    ties, matching argmax-first semantics). One vectorized overlap pass over
+    the whole batch, then a per-doc first-of-group selection."""
     from ..core import geometry
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "sel_start", "sel_end", "sel_text"]
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in cols}
-            for doc_id, text, pages in zip(pdf["doc_id"], pdf["plain_text"], pdf["pages"]):
-                t = text or ""
-                boxes = charboxes.char_boxes(t, _bounds(pages))
-                loc = geometry.find_longest_location(boxes, SELECTION_AREA)
-                if loc is not None:
-                    s, e = loc
-                    out["doc_id"].append(doc_id)
-                    out["sel_start"].append(s)
-                    out["sel_end"].append(e)
-                    out["sel_text"].append(t[s:e])
-            yield pd.DataFrame(out, columns=cols)
+            texts, bb = _batch(pdf)
+            if len(bb.printable) == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            mask = geometry.overlaps_enough(bb.boxes, SELECTION_AREA)
+            starts, ends, docs = bb.runs(mask)
+            if len(starts) == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            # per doc: longest run, earliest start on ties (argmax-first)
+            order = np.lexsort((starts, -(ends - starts), docs))
+            _, first = np.unique(docs[order], return_index=True)
+            best = order[first]
+            off = bb.doc_off[docs[best]]
+            ls = starts[best] - off
+            le = ends[best] - off
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[docs[best]],
+                "sel_start": ls,
+                "sel_end": le,
+                "sel_text": [texts[d][s:e] for d, s, e in
+                             zip(docs[best], ls, le)],
+            })[cols]
 
     return assembled.select("doc_id", "plain_text", "pages").mapInPandas(
         gen, schema=COORDS_TEXT_SCHEMA
@@ -121,10 +154,11 @@ def with_char_boxes(assembled: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _, bb = _batch(pdf)
             pdf = pdf.copy()
             pdf["char_bboxes"] = [
-                charboxes.char_boxes(t or "", _bounds(p)).tolist()
-                for t, p in zip(pdf["plain_text"], pdf["pages"])
+                bb.boxes[s:e].tolist()
+                for s, e in zip(bb.doc_off[:-1], bb.doc_off[1:])
             ]
             yield pdf[["doc_id", "char_bboxes"]]
 
