@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,15 +237,30 @@ INCR_COMMITTED_MOD = 3
 INCR_THRESHOLD = 0.5
 
 
+def _state_dir(sf_dir: str) -> str:
+    """Durable-state directory for a corpus (write-once, like the production
+    committed tables)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse", f"state_{name}")
+
+
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch dedup (the production shape at 10^12 docs): the NEW batch
-    is signed and joined against the committed corpus's persisted
-    signature_table; duplicates verified by the MinHash sketch estimate —
-    the committed corpus is never re-shingled."""
+    is signed and joined against the committed corpus's PERSISTED signature
+    table (parquet partitioned by (band, sig_prefix), written once and read
+    back with partition pruning — state.write_signature_table); duplicates
+    verified by the MinHash sketch estimate — the committed corpus is never
+    re-shingled or re-signed."""
+    from text_extraction_system_spark.operators import state
+
     docs = _docs(spark, sf_dir)
-    committed = dedup.signature_table(
-        docs.where(F.col("doc_id") % INCR_COMMITTED_MOD == 0)
-    )
+    base = _state_dir(sf_dir)
+    if not state.signature_table_exists(base):
+        state.write_signature_table(
+            docs.where(F.col("doc_id") % INCR_COMMITTED_MOD == 0), base
+        )
+    committed = state.read_signature_table(spark, base)
     new = docs.where(F.col("doc_id") % INCR_COMMITTED_MOD != 0)
     return dedup.incremental_near_dup(new, committed, est_threshold=INCR_THRESHOLD)
 

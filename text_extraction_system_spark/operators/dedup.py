@@ -227,13 +227,11 @@ def contamination_report(
     )
 
 
-def signature_table(docs: DataFrame, doc_id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """(doc_id, sig, band, band_sig) — the persisted dedup state of a
-    committed corpus. At 10^12 docs this table is written ONCE, partitioned
-    by (band, band_sig), and every incoming batch joins against it with
-    partition pruning; the raw text never needs re-shingling. Degenerate
-    buckets are dropped on write (MAX_BUCKET), so batch joins are bounded."""
+def signature_rows(docs: DataFrame, doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, sig, band, band_sig) — the dedup state of a corpus, as a
+    plan (no materialization). Degenerate buckets are dropped (MAX_BUCKET),
+    so batch joins against the rows are bounded."""
     sigs = doc_shingles(docs, doc_id_col, text_col).select(
         "doc_id",
         exprutil.let(
@@ -250,15 +248,19 @@ def signature_table(docs: DataFrame, doc_id_col: str = "doc_id",
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
     )
-    # this table IS the persisted dedup state: lazily materialize so repeated
-    # consumers (batch joins, bench reruns) pay the minhash plan once — the
-    # single-JVM stand-in for the cluster's real write-out (see the
-    # localCheckpoint trade-off note in lsh_candidate_pairs)
-    return (
-        counted.where(F.col("bucket_n") <= MAX_BUCKET)
-        .drop("bucket_n")
-        .localCheckpoint(eager=False)
-    )
+    return counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+
+
+def signature_table(docs: DataFrame, doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """In-memory signature state: ``signature_rows`` lazily materialized so
+    repeated consumers (batch joins, bench reruns) pay the minhash plan once.
+    This is the single-JVM convenience path — the DURABLE form is
+    ``state.write_signature_table`` (parquet partitioned by
+    (band, sig_prefix), read back with partition pruning), which survives
+    executor loss and is resumable across jobs; see the localCheckpoint
+    trade-off note in lsh_candidate_pairs."""
+    return signature_rows(docs, doc_id_col, text_col).localCheckpoint(eager=False)
 
 
 def incremental_near_dup(
@@ -277,21 +279,42 @@ def incremental_near_dup(
     Verification uses the MinHash ESTIMATE (fraction of agreeing signature
     components — the standard sketch estimator of Jaccard), because at
     10^12 committed docs the raw shingle sets are not retained. Returns
-    (doc_id, dup_of, est_jaccard) with doc_id from the new batch."""
-    batch = signature_table(new_docs, doc_id_col, text_col).select(
+    (doc_id, dup_of, est_jaccard) with doc_id from the new batch.
+
+    When ``committed_sigs`` is the persisted table (it carries the
+    ``sig_prefix`` partition column — ``state.read_signature_table``), the
+    join also keys on (band, sig_prefix): the batch side's key set then
+    drives dynamic partition pruning, so a small batch touches only the
+    committed partitions holding its candidate buckets instead of scanning
+    the whole 10^12-doc signature table."""
+    # signature_rows, not signature_table: the batch is consumed exactly once
+    # (this join), so a checkpoint buys nothing — and its LogicalRDD boundary
+    # would hide the batch's selective filters from the DPP planner
+    batch = signature_rows(new_docs, doc_id_col, text_col).select(
         F.col("doc_id").alias("new_id"),
         F.col("sig").alias("sig_new"),
         "band",
         "band_sig",
     )
+    keys = ["band", "band_sig"]
+    if "sig_prefix" in committed_sigs.columns:
+        from . import state
+
+        batch = batch.withColumn("sig_prefix", state.sig_prefix_col(F.col("band_sig")))
+        keys = ["band", "sig_prefix", "band_sig"]
     old = committed_sigs.select(
         F.col("doc_id").alias("dup_of"),
         F.col("sig").alias("sig_old"),
-        "band",
-        "band_sig",
+        *keys,
     )
+    # the batch is by definition the small side (a day's arrivals vs the
+    # whole committed corpus): broadcast it so the committed table is never
+    # shuffled, and — against the persisted table — so dynamic partition
+    # pruning can drop committed partitions outside the batch's
+    # (band, sig_prefix) key set before any signature file is read
+    # (spark's DPP is broadcast-reuse-only by default)
     cand = (
-        batch.join(old, ["band", "band_sig"])
+        F.broadcast(batch).join(old, keys)
         .select("new_id", "dup_of", "sig_new", "sig_old")
         .groupBy("new_id", "dup_of")
         .agg(F.first("sig_new").alias("sig_new"), F.first("sig_old").alias("sig_old"))

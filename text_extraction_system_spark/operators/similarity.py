@@ -218,13 +218,17 @@ def srp_banded_buckets(
     vec_col: str = "embedding",
     keep_vec: bool = False,
     vectorized: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """(vid, band, bucket[, vec]) rows, degenerate buckets dropped
     (MAX_BUCKET).
 
     The bucket signature is a narrow per-row expression; at 10^12 rows this
     is the table you would materialize once and bucket-partition by
-    (band, bucket). ``vectorized=True`` (default) computes signatures with
+    (band, bucket) — that durable form is ``state.write_srp_buckets``
+    (parquet partitioned by (band, bucket_prefix)), which passes
+    ``materialize=False`` to get the raw plan for its write.
+    ``vectorized=True`` (default) computes signatures with
     the numpy Arrow twin — bit-identical to the HOF (pinned by
     tests/test_plans.py), minus the interpreted-expression CPU."""
     if vectorized:
@@ -259,11 +263,8 @@ def srp_banded_buckets(
     # loss on a cluster is unrecoverable — at cluster scale write the bucket
     # table out partitioned by (band, bucket) instead (durable, co-located
     # join); see dedup.lsh_candidate_pairs for the full trade-off note.
-    return (
-        counted.where(F.col("bucket_n") <= MAX_BUCKET)
-        .drop("bucket_n")
-        .localCheckpoint(eager=False)
-    )
+    kept = counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
+    return kept.localCheckpoint(eager=False) if materialize else kept
 
 
 def srp_candidate_pairs(
