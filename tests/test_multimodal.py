@@ -100,3 +100,84 @@ def test_resize_kernel_no_pil_matches_fake():
     out = multimodal._resize_payload(b, 16, None)
     step = 100 // 16
     assert out == b[::step][:16].ljust(16, b"\x00")
+
+
+def test_detect_rotation_real_branch_with_fake_pil():
+    """A PIL-shaped module drives the REAL tile-mode estimator (A5): a
+    synthetic grayscale page with text lines drawn at a known skew is
+    detected within the angle grid's resolution; garbage payloads fall back
+    to the deterministic stub; a throwing module never raises."""
+    import numpy as np
+
+    from text_extraction_system_spark.operators import rotation
+
+    def page_with_skew(theta_deg: float, h: int = 128, w: int = 128) -> np.ndarray:
+        arr = np.full((h, w), 255.0)
+        slope = -np.tan(np.radians(theta_deg))
+        xs = np.arange(w)
+        for y0 in range(8, h - int(abs(slope) * w) - 2, 16):
+            ys = np.clip(np.round(y0 + slope * xs).astype(int), 0, h - 1)
+            arr[ys, xs] = 0.0  # a "text line" rising/falling at theta
+        return arr
+
+    class FakeImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr if dtype is None else self.arr.astype(dtype)
+
+    def mod_for(arr):
+        class FakeImageMod:
+            @staticmethod
+            def open(fp):
+                if fp.read(4) != b"good":
+                    raise OSError("cannot identify image file")
+                return FakeImg(arr)
+
+        return FakeImageMod
+
+    for theta in (0.0, 3.0, -7.5):
+        got = rotation.detect_rotation("ref", b"good-image", mod_for(page_with_skew(theta)))
+        assert abs(got - theta) <= 1.0, (theta, got)
+
+    # undecodable payload -> stub, identical to the Catalyst column's value
+    bad = b"\x00\x01junk"
+    assert rotation.detect_rotation("refx", bad, mod_for(page_with_skew(3.0))) == (
+        rotation.stub_raw_angle("refx")
+    )
+
+    class ExplodingMod:
+        @staticmethod
+        def open(fp):
+            raise RuntimeError("poison payload")
+
+    assert rotation.detect_rotation("refy", b"good", ExplodingMod) == (
+        rotation.stub_raw_angle("refy")
+    )
+
+
+def test_detected_rotation_rows_match_stub_column(spark):
+    """Through the full Arrow payload path (no PIL in this container /
+    synthetic payloads), detected_rotation_rows == raw_angle_col exactly —
+    the stub and the real plumbing agree per media ref."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import rotation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    got = {
+        (r["doc_id"], r["media_ref"]): r["raw_angle"]
+        for r in rotation.detected_rotation_rows(docs).collect()
+    }
+    want = {
+        (r["doc_id"], r["media_ref"]): r["raw_angle"]
+        for r in rotation.rotation_rows(docs)
+        .select("doc_id", "media_ref", "raw_angle")
+        .collect()
+    }
+    assert got == want and got

@@ -56,3 +56,23 @@ def test_lsh_multiprobe_beats_single_key(emb, exact_pairs):
 def test_ivf_recall_floor(emb, exact_pairs):
     rec = _recall(similarity.ivf_topk(emb), exact_pairs)
     assert rec >= 0.90, f"IVF recall@5 degraded to {rec:.2f}"
+
+
+def test_probe_budget_ordering_and_graceful_degradation(emb, exact_pairs):
+    """Probe masks come in increasing Hamming distance (lexicographic within
+    a distance), so a budget spends its keys on the nearest buckets first:
+    budget=1 == single-key lookup, budget=9 (distance <= 1) sits between it
+    and the full 37, and the full budget keeps the recall floor."""
+    masks = similarity._probe_masks(8, 2)
+    assert masks[0] == ()
+    assert masks[1:9] == [(b,) for b in range(8)]
+    assert len(masks) == 37 and all(len(m) == 2 for m in masks[9:])
+    assert similarity._probe_masks(8, 2, budget=9) == masks[:9]
+
+    r_full = _recall(similarity.srp_lsh_topk(emb), exact_pairs)
+    r_d1 = _recall(similarity.srp_lsh_topk(emb, probe_budget=9), exact_pairs)
+    r_1 = _recall(similarity.srp_lsh_topk(emb, probe_budget=1), exact_pairs)
+    r_single = _recall(similarity.srp_lsh_topk(emb, multiprobe=0), exact_pairs)
+    assert r_1 == r_single  # budget=1 degenerates to the exact bucket
+    assert r_1 <= r_d1 <= r_full, (r_1, r_d1, r_full)
+    assert r_full >= 0.60

@@ -321,13 +321,22 @@ def srp_near_dup_pairs(
 MULTIPROBE_RADIUS = 2
 
 
-def _probe_masks(n_bits: int, radius: int) -> list[tuple[int, ...]]:
-    """All bit-position subsets of size <= radius (incl. the empty probe)."""
+def _probe_masks(n_bits: int, radius: int,
+                 budget: int | None = None) -> list[tuple[int, ...]]:
+    """Bit-position subsets of size <= radius (incl. the empty probe), in
+    GUARANTEED probe order: increasing Hamming distance, lexicographic by
+    bit positions within a distance. A ``budget`` keeps the first N probes —
+    so a budget always spends its keys on the nearest buckets first, and
+    budget=1 degenerates to the exact single-bucket lookup. This is what
+    makes a probe budget meaningful at scale: 16-plane bands (the
+    recommended width at 10^9+ vectors) have 137 radius-2 probes, and a
+    budget trades recall for query fan-out along a known-good order."""
     from itertools import combinations
 
-    return [
+    masks = [
         m for r in range(radius + 1) for m in combinations(range(n_bits), r)
     ]
+    return masks[:budget] if budget is not None else masks
 
 
 def _flip_bits_col(bucket: Column, positions: tuple[int, ...], n_bits: int) -> Column:
@@ -358,6 +367,7 @@ def srp_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = MULTIPROBE_RADIUS,
+    probe_budget: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates are vectors sharing at least one band
     bucket with the query (queries broadcast; a pair colliding in several
@@ -368,11 +378,17 @@ def srp_lsh_topk(
     radius within each band (classic multi-probe LSH): with few bands the
     single-key recall on weak-similarity corpora is poor, and adding bands
     multiplies the 10^12-row BUCKET TABLE — probing instead multiplies only
-    the broadcast query keys, which is the scale-correct direction."""
+    the broadcast query keys, which is the scale-correct direction.
+
+    ``probe_budget`` caps the probes per band per query, taken in increasing
+    Hamming distance (nearest buckets first — see _probe_masks); None keeps
+    every probe within the radius (the default 8-plane/radius-2 setup: 37).
+    Recall degrades gracefully as the budget shrinks (pinned by
+    tests/test_recall.py)."""
     bb = srp_banded_buckets(
         embeddings, n_bands, planes_per_band, dim, id_col, vec_col, keep_vec=True
     )
-    masks = _probe_masks(planes_per_band, multiprobe)
+    masks = _probe_masks(planes_per_band, multiprobe, probe_budget)
     qs = bb.where(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"),
         "band",
