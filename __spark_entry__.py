@@ -319,6 +319,24 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_lsh_topk(emb)
 
 
+#: trained quantizers per corpus (train once / serve many — the IVF
+#: deployment shape; serving cost is what the bench times)
+_IVF_TRAINED: dict[str, list] = {}
+
+
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from a k-means-trained quantizer (Forgy seed + 5
+    distributed Lloyd steps). Training is float-order-dependent, so this
+    query has no bit-exact SQL oracle (rows-only driver check); neighbor
+    QUALITY is pinned by tests/test_recall.py (occupancy spread + the
+    recall-vs-probes curve — the hash-centroid oracle variant degenerates
+    to one cell on this corpus and prunes nothing)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _IVF_TRAINED:
+        _IVF_TRAINED[sf_dir] = similarity.ivf_train(emb, iters=5)
+    return similarity.ivf_topk(emb, centroids=_IVF_TRAINED[sf_dir])
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (T/streaming analog, batch formulation)."""
     _utc(spark)
@@ -619,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_coords": _q_text_coords,
         "coords_text": _q_coords_text,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "curation_funnel": _q_curation_funnel,

@@ -54,8 +54,43 @@ def test_lsh_multiprobe_beats_single_key(emb, exact_pairs):
 
 
 def test_ivf_recall_floor(emb, exact_pairs):
+    """Hash-centroid IVF (the bit-exact oracle twin). NOTE: on this corpus
+    its assignment is degenerate (every vector in one cell — far hash
+    centroids reduce argmin to |c|^2), so probing that cell scans the whole
+    corpus: recall 1.0 with zero pruning. The floor only pins that the plan
+    returns the true neighbors when nothing is pruned; the REAL recall/scan
+    trade-off lives in the trained path below."""
     rec = _recall(similarity.ivf_topk(emb), exact_pairs)
     assert rec >= 0.90, f"IVF recall@5 degraded to {rec:.2f}"
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    return similarity.ivf_train(emb, iters=5)
+
+
+def test_trained_ivf_actually_partitions(spark, emb, trained):
+    """Forgy-seeded Lloyd training produces a real quantizer: occupancy
+    spread over many cells with no degenerate catch-all (measured: all 64
+    cells used, max 14/500 vectors)."""
+    occ = {
+        r["cell"]: r["count"]
+        for r in similarity.assign_cells_vectorized(emb, centroids=trained)
+        .groupBy("cell").count().collect()
+    }
+    assert len(occ) >= 32, f"only {len(occ)} cells occupied"
+    assert max(occ.values()) <= 0.10 * sum(occ.values())
+
+
+def test_trained_ivf_recall_vs_probes(emb, exact_pairs, trained):
+    """The real ANN property: recall rises with probes while scanning a
+    bounded corpus fraction (measured 0.60/0.86/0.92 at probe 1/8/16, probe 8
+    scanning ~12.5%). Floors just below measured; monotonicity exact."""
+    r1 = _recall(similarity.ivf_topk(emb, n_probe=1, centroids=trained), exact_pairs)
+    r8 = _recall(similarity.ivf_topk(emb, n_probe=8, centroids=trained), exact_pairs)
+    r16 = _recall(similarity.ivf_topk(emb, n_probe=16, centroids=trained), exact_pairs)
+    assert r1 <= r8 <= r16, (r1, r8, r16)
+    assert r1 >= 0.50 and r8 >= 0.80 and r16 >= 0.88, (r1, r8, r16)
 
 
 def test_probe_budget_ordering_and_graceful_degradation(emb, exact_pairs):

@@ -445,10 +445,13 @@ def ivf_centroid_values(dim: int = 64, n_centroids: int = IVF_CENTROIDS) -> list
     ]
 
 
-def _ivf_cells_lit(dim: int, n_centroids: int) -> Column:
+def _ivf_cells_lit(dim: int, n_centroids: int,
+                   centroids: list[list[float]] | None = None) -> Column:
     """Literal array<struct<c2: double, cv: array<double>>> of centroids with
-    precomputed squared norms (exact: components are half-integers)."""
-    cents = ivf_centroid_values(dim, n_centroids)
+    precomputed squared norms (exact: the default hash centroids are
+    half-integers; trained centroids use the same python-float sum so every
+    consumer sees one rounding order)."""
+    cents = centroids if centroids is not None else ivf_centroid_values(dim, n_centroids)
     return F.array(
         *[
             F.struct(
@@ -551,22 +554,28 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an inverted file: every vector is assigned to
     its nearest coarse centroid (one narrow per-row pass — at 10^12 rows this
     is the column you materialize and partition by); each query scans only
     its n_probe nearest cells. Probed cells are distinct, so no pair is
-    scored twice. Queries broadcast; the join hashes on the cell id."""
+    scored twice. Queries broadcast; the join hashes on the cell id.
+
+    ``centroids`` serves the index from an explicit (e.g. ``ivf_train``-ed)
+    quantizer instead of the default deterministic hash centroids — the real
+    IVF deployment shape: train once, serve many. Trained centroids cut the
+    probes needed at equal recall (pinned by tests/test_recall.py)."""
     from .exprutil import let
 
-    cells_lit = _ivf_cells_lit(dim, n_centroids)
+    cells_lit = _ivf_cells_lit(dim, n_centroids, centroids)
     if vectorized:
         # production assignment: numpy mapInPandas, bit-identical to the
         # HOF (see assign_cells_vectorized) — keeps the oracle green while
         # dropping the interpreted 64x64 expression from the hot path
         base = assign_cells_vectorized(
             embeddings, n_centroids=n_centroids, dim=dim,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, centroids=centroids,
         ).select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "cell"
         )
@@ -608,9 +617,10 @@ def ivf_train_step(
     centroids: list[list[float]],
     dim: int = 64,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """One distributed Lloyd iteration: assign every vector to its nearest
-    centroid (same narrow per-row expression as ivf_topk), then recompute
+    centroid (the vectorized production assignment path), then recompute
     each centroid as the mean of its members — the real IVF training path,
     entirely as DataFrame aggregations (posexplode to (cell, dim, value),
     one groupBy; no vectors ever reach the driver, only the k x dim means).
@@ -620,20 +630,10 @@ def ivf_train_step(
     dependent (avg of floats), so trained IVF is pytest-verified by inertia
     descent rather than by the bit-exact oracle, which pins the untrained
     hash-centroid variant."""
-    k = len(centroids)
-    cells_lit = F.array(
-        *[
-            F.struct(
-                F.lit(sum(v * v for v in cv)).alias("c2"),
-                F.array(*[F.lit(v) for v in cv]).cast("array<double>").alias("cv"),
-            )
-            for cv in centroids
-        ]
-    )
-    assigned = embeddings.select(
-        ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
-        F.posexplode(F.col(vec_col)).alias("dim", "x"),
-    )
+    assigned = assign_cells_vectorized(
+        embeddings, n_centroids=len(centroids), dim=dim,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    ).select("cell", F.posexplode(F.col(vec_col)).alias("dim", "x"))
     means = (
         assigned.groupBy("cell", "dim")
         .agg(F.avg(F.col("x").cast("double")).alias("m"))
@@ -648,6 +648,42 @@ def ivf_train_step(
     return out
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """k-means training end-to-end: Forgy init (the first n_centroids data
+    vectors by id — deterministic, and a top-k read at any scale) seeds
+    ``iters`` distributed Lloyd steps. Returns the trained quantizer to pass
+    to ``ivf_topk(centroids=...)`` — the train-once/serve-many deployment
+    shape. Each step is one narrow assignment pass + one k x dim aggregate;
+    at 10^12 rows you would train on a uniform sample instead (standard IVF
+    practice), which is a ``.sample()`` on the way in.
+
+    Seeding from DATA matters: the deterministic hash centroids sit far from
+    any real embedding cloud, so assignment degenerates to argmin |c|^2 —
+    on the test corpora every vector lands in ONE cell, and hash-centroid
+    IVF prunes nothing (its recall is vacuous). The hash variant remains
+    the bit-exact ORACLE twin (plan shape under test); the trained path is
+    the one with a real recall/scan trade-off (tests/test_recall.py pins
+    occupancy spread and the recall-vs-probes curve)."""
+    seed_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col)
+        .limit(n_centroids).collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if len(cents) < n_centroids:  # tiny corpus: pad with hash centroids
+        cents += ivf_centroid_values(dim, n_centroids)[len(cents):]
+    for _ in range(iters):
+        cents = ivf_train_step(embeddings, cents, dim=dim,
+                               vec_col=vec_col, id_col=id_col)
+    return cents
+
+
 def ivf_inertia(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -655,15 +691,7 @@ def ivf_inertia(
 ) -> float:
     """Mean distance proxy (|c|^2 - 2 x.c) to the assigned centroid — a
     monotone stand-in for k-means inertia, enough to verify descent."""
-    cells_lit = F.array(
-        *[
-            F.struct(
-                F.lit(sum(v * v for v in cv)).alias("c2"),
-                F.array(*[F.lit(v) for v in cv]).cast("array<double>").alias("cv"),
-            )
-            for cv in centroids
-        ]
-    )
+    cells_lit = _ivf_cells_lit(len(centroids[0]), len(centroids), centroids)
     return (
         embeddings.select(
             F.array_min(ivf_dists_col(F.col(vec_col), cells_lit)).alias("d")

@@ -85,13 +85,16 @@ def pack_bins(
     Scale shape — a DISTRIBUTED PREFIX SUM, not a global window:
       1. shard = md5-hash of doc id mod n_shards (uniform);
       2. within-shard cumsum via a window bounded to corpus/n_shards rows;
-      3. per-shard totals (n_shards tiny rows) -> exclusive prefix offsets
-         computed on the driver, joined back as a broadcast map;
+      3. per-shard totals (an n_shards-row aggregate) -> exclusive prefix
+         offsets via a second window over those n_shards rows, broadcast-
+         joined back on shard — ENTIRELY inside the plan (construction runs
+         no jobs; an earlier driver-side fold executed the shard-totals jobs
+         at DataFrame-construction time, before bench warm-up);
       4. global_cum = shard_offset + within_cum; bin = floor((global_cum -
          n_tokens)/budget).
     The single-ORDER-BY formulation any SQL engine would write is the
     semantic twin (the DuckDB oracle uses it); this plan replaces its one
-    world-wide sort with n_shards independent ones.
+    world-wide sort with n_shards independent ones plus one 32-row window.
 
     Returns (doc_id, n_tokens, bin).
     """
@@ -110,26 +113,21 @@ def pack_bins(
         Window.unboundedPreceding, Window.currentRow
     )
     within = sharded.withColumn("cum_in_shard", F.sum("n_tokens").over(w))
-    # per-shard totals: n_shards rows to the driver, exclusive prefix fold
-    totals = {
-        r["shard"]: r["t"]
-        for r in within.groupBy("shard")
-        .agg(F.max("cum_in_shard").alias("t"))
-        .collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for s in range(n_shards):
-        offsets[s] = acc
-        acc += int(totals.get(s, 0))
-    offset_map = F.create_map(
-        *[c for s in range(n_shards) for c in (F.lit(s), F.lit(offsets[s]))]
+    # per-shard totals -> exclusive prefix offsets, in-plan: the second
+    # window runs over n_shards rows (one tiny partition — the deliberate
+    # two-level trade: 32 rows sort nowhere, the corpus sorts per-shard);
+    # shards absent from totals hold no docs, so they drop out of both the
+    # running sum and the join
+    totals = within.groupBy("shard").agg(F.max("cum_in_shard").alias("t"))
+    wo = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("t").over(wo), F.lit(0)).alias("shard_offset")
     )
-    return within.select(
+    return within.join(F.broadcast(offsets), "shard").select(
         doc_id_col,
         "n_tokens",
         F.floor(
-            (F.col("cum_in_shard") + offset_map[F.col("shard")] - F.col("n_tokens"))
+            (F.col("cum_in_shard") + F.col("shard_offset") - F.col("n_tokens"))
             / budget
         ).cast("bigint").alias("bin"),
     )
