@@ -239,10 +239,19 @@ INCR_THRESHOLD = 0.5
 
 def _state_dir(sf_dir: str) -> str:
     """Durable-state directory for a corpus (write-once, like the production
-    committed tables)."""
+    committed tables). Keyed by the documents file's identity (path + mtime
+    + size) so a changed corpus never reuses stale signatures — the local
+    twin of an Iceberg snapshot id."""
+    import hashlib
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     name = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "spark-warehouse", f"state_{name}")
+                        "spark-warehouse", f"state_{name}_{key}")
 
 
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained",
     "sessionize",
     "tumbling",
     "pricing_summary",
@@ -127,6 +128,33 @@ def main() -> None:
         res.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
 
+    # giant-doc row: one 10^5-span document through extraction — the skew
+    # archetype measured AT measurement time (the pytest linearity guard's
+    # bench twin). Wall time should stay O(spans); a quadratic regression
+    # shows up here as minutes, not seconds.
+    from text_extraction_system_spark.operators import layout, restitch
+
+    n_spans = 100_000
+    giant = spark.range(1).select(
+        F.lit("giantperf").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_spans - 1)),
+            lambda i: F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("w"), i.cast("string")).alias("text"),
+                F.lit("").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    gres = layout.assemble(restitch.process_spans(giant, fanout_threshold=None))
+    gres.write.format("noop").mode("overwrite").save()  # warm
+    gbest = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        gres.write.format("noop").mode("overwrite").save()
+        gbest = min(gbest, time.time() - t0)
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -138,6 +166,8 @@ def main() -> None:
         "pipeline_sec": round(best, 2),
         "docs_per_sec": round(n_big / best, 1),
         "mb_per_sec": round(big_bytes / 1e6 / best, 2),
+        "giant_doc_spans": n_spans,
+        "giant_doc_sec": round(gbest, 2),
         "cpus": cpus,
     }
     spark.stop()

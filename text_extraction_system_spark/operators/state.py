@@ -42,6 +42,16 @@ BUCKET_PREFIX_LEN = 4
 _SIG_DIR = "dedup_signatures"
 _SRP_DIR = "srp_buckets"
 
+#: explicit read schemas (data columns + partition columns): no inference
+#: scan at read time, and an EMPTY committed table (nothing survived the
+#: write's filters) reads back as an empty frame instead of
+#: UNABLE_TO_INFER_SCHEMA
+SIG_TABLE_SCHEMA = (
+    "doc_id string, sig array<bigint>, band_sig string, "
+    "band int, sig_prefix string"
+)
+SRP_TABLE_SCHEMA = "vid bigint, bucket string, band int, bucket_prefix string"
+
 
 def sig_prefix_col(band_sig) -> F.Column:
     return F.substring(band_sig, 1, SIG_PREFIX_LEN)
@@ -73,7 +83,9 @@ def read_signature_table(spark: SparkSession, base_dir: str) -> DataFrame:
     """The persisted signature table. Filters on (band, sig_prefix) reach the
     scan as PartitionFilters (asserted by tests/test_plans.py); joining on
     them as well lets DPP prune committed partitions from the batch side."""
-    return spark.read.parquet(os.path.join(base_dir, _SIG_DIR))
+    return spark.read.schema(SIG_TABLE_SCHEMA).parquet(
+        os.path.join(base_dir, _SIG_DIR)
+    )
 
 
 def signature_table_exists(base_dir: str) -> bool:
@@ -107,8 +119,12 @@ def write_srp_buckets(
     return path
 
 
-def read_srp_buckets(spark: SparkSession, base_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(base_dir, _SRP_DIR))
+def read_srp_buckets(spark: SparkSession, base_dir: str,
+                     schema: str = SRP_TABLE_SCHEMA) -> DataFrame:
+    """``schema`` must match the id type the table was written with (vid is
+    bigint for the embeddings corpus; pass a string-vid schema for
+    string-keyed vectors)."""
+    return spark.read.schema(schema).parquet(os.path.join(base_dir, _SRP_DIR))
 
 
 def srp_buckets_exist(base_dir: str) -> bool:
