@@ -59,6 +59,31 @@ HEADLINE = [
 ]
 
 
+def _host_probe() -> dict:
+    """/proc snapshot for interference evidence: busy/steal cpu ticks and
+    load. The driver-recorded bench carries its own host-conditions proof —
+    round-3's pipeline-throughput delta (63k vs 49k docs/s) was
+    unattributable because neither side recorded what else the host ran."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
+    return {"busy": user + nice + system + irq + softirq, "steal": steal,
+            "load1": load1, "t": time.time()}
+
+
+def _host_delta(a: dict, b: dict) -> dict:
+    hz = os.sysconf("SC_CLK_TCK")
+    wall = max(b["t"] - a["t"], 1e-9)
+    return {
+        "host_busy_cores": round((b["busy"] - a["busy"]) / hz / wall, 2),
+        "steal_cores": round((b["steal"] - a["steal"]) / hz / wall, 3),
+        "load1_start": a["load1"],
+        "load1_end": b["load1"],
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from text_extraction_system_spark.session import get_spark
@@ -89,6 +114,7 @@ def main() -> None:
     # "regression" reproduced as pure inter-process variance in a controlled
     # interleaved worktree A/B — see BENCH.md); the min is the stable
     # plan-cost signal
+    probe_start = _host_probe()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
@@ -103,6 +129,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    headline_host = _host_delta(probe_start, _host_probe())
 
     # throughput on a replicated corpus: at sf0.1 the raw table is 5k docs,
     # so a single-query timing is all fixed cost; replicate with distinct
@@ -122,11 +149,13 @@ def main() -> None:
     big_bytes = n_big / n_docs * doc_bytes
     res = pl.extract_from_documents(big)
     res.write.format("noop").mode("overwrite").save()
+    probe_pipe = _host_probe()
     best = 1e9
     for _ in range(2):
         t0 = time.time()
         res.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+    pipeline_host = _host_delta(probe_pipe, _host_probe())
 
     # giant-doc row: one 10^5-span document through extraction — the skew
     # archetype measured AT measurement time (the pytest linearity guard's
@@ -169,6 +198,8 @@ def main() -> None:
         "giant_doc_spans": n_spans,
         "giant_doc_sec": round(gbest, 2),
         "cpus": cpus,
+        "host_headline": headline_host,
+        "host_pipeline": pipeline_host,
     }
     spark.stop()
     print(json.dumps(out))

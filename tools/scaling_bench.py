@@ -1,5 +1,5 @@
 """Two-cluster-size scaling evidence (north rule: throughput at N vs 4N
-executors, efficiency >= 0.8).
+executors, efficiency >= 0.8) — with HOST-INTERFERENCE instrumentation.
 
 The sandbox is ONE machine, so cluster sizes are emulated two ways and both
 are reported:
@@ -19,10 +19,23 @@ B. **local[8] vs local[32] (secondary)** — same job, one JVM, task-slot
    counts 8 vs 32, process pinned to that many CPUs. Penalized by a single
    shared heap at 32 threads; reported for completeness.
 
-All runs: warmed (JIT + python workers), min of k timed repetitions (robust
-to host CPU steal), identical materialized parquet input, scan splits sized
-so the scan parallelizes (a ~100 MB corpus bin-packs into ~5 default splits,
-which would serialize both sides).
+Instrumentation (round-3 verdict item 1: external contention was asserted
+from run-to-run consistency, never demonstrated): every phase samples
+/proc/stat and getrusage(RUSAGE_CHILDREN) before/after and reports
+  * host_busy_cores    — total host CPU during the phase (cores avg)
+  * our_cpu_cores      — CPU burned by THIS benchmark's subprocesses
+  * foreign_cpu_cores  — host_busy - ours: co-runner interference
+  * steal_cores        — hypervisor steal (Firecracker host contention)
+  * load1 start/end
+A phase whose foreign_cpu_cores exceeds QUIET_FOREIGN_CORES is re-run (up
+to MAX_ATTEMPTS); every attempt is reported, the quietest attempt's timing
+is used. A raw-efficiency number is only meaningful next to quiet-phase
+evidence — that is what this file now produces.
+
+All runs: warmed (JIT + python workers), min of k timed repetitions,
+identical materialized parquet input, scan splits sized so the scan
+parallelizes (a ~100 MB corpus bin-packs into ~5 default splits, which
+would serialize both sides).
 
 Workload: the full extraction pipeline (derive -> OCR route -> stub ->
 re-stitch -> assemble -> structure UDF).
@@ -32,13 +45,23 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import subprocess
 import sys
 import tempfile
+import time
 
 REPLICATE = int(os.environ.get("SCALING_REPLICATE", "256"))
+#: cores per emulated executor (8 = default; 2 emulates 4N on a quarter
+#: of the box, sidestepping the full-box clock/scheduling penalty the
+#: coloc_probe measures — a second, low-utilization scaling data point)
+CORES_PER_EXEC = int(os.environ.get("SCALING_CORES_PER_EXEC", "8"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TMP = tempfile.gettempdir()
+
+#: a phase counts as quiet when co-runner CPU stays below this many cores
+QUIET_FOREIGN_CORES = float(os.environ.get("SCALING_QUIET_CORES", "1.5"))
+MAX_ATTEMPTS = int(os.environ.get("SCALING_MAX_ATTEMPTS", "3"))
 
 _PREP = r"""
 import sys
@@ -82,6 +105,65 @@ spark.stop()
 """
 
 
+def _foreign_cpu_ticks() -> float:
+    """utime+stime of every process OUTSIDE this benchmark's session — the
+    direct co-runner measurement (RUSAGE_CHILDREN misses python-UDF workers
+    the JVM kills without reaping, which would misattribute our own CPU as
+    foreign). Foreign processes that exit mid-phase lose their ticks — an
+    undercount, but persistent co-runner daemons (the contention suspects)
+    are counted exactly."""
+    ours = os.getsid(0)
+    total = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # post-comm fields: state=0, ..., session=3, ..., utime=11, stime=12
+            if int(parts[3]) == ours:
+                continue
+            total += int(parts[11]) + int(parts[12])
+        except (OSError, IndexError, ValueError):
+            continue  # process vanished mid-read
+    return total
+
+
+def _host_sample() -> dict:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    with open("/proc/loadavg") as f:
+        load1 = float(f.read().split()[0])
+    return {
+        "busy": user + nice + system + irq + softirq,
+        "steal": steal,
+        "foreign": _foreign_cpu_ticks(),
+        "child_cpu": ru.ru_utime + ru.ru_stime,
+        "load1": load1,
+        "t": time.time(),
+    }
+
+
+def _phase_stats(a: dict, b: dict) -> dict:
+    hz = os.sysconf("SC_CLK_TCK")
+    wall = max(b["t"] - a["t"], 1e-9)
+    busy = (b["busy"] - a["busy"]) / hz
+    steal = (b["steal"] - a["steal"]) / hz
+    foreign = max(b["foreign"] - a["foreign"], 0) / hz
+    ours = b["child_cpu"] - a["child_cpu"]
+    return {
+        "wall_sec": round(wall, 2),
+        "host_busy_cores": round(busy / wall, 2),
+        "our_reaped_cpu_cores": round(ours / wall, 2),
+        "foreign_cpu_cores": round(foreign / wall, 2),
+        "steal_cores": round(steal / wall, 3),
+        "load1_start": a["load1"],
+        "load1_end": b["load1"],
+    }
+
+
 def _sec(stdout: str) -> float:
     lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -101,15 +183,30 @@ def _run(args: list[str], snippet: str) -> str:
     return proc.stdout
 
 
-def main() -> None:
-    corpus = os.path.join(TMP, "scaling_corpus")
-    n_docs = int(_run([corpus, SF_DIR, str(REPLICATE)], _PREP).strip().splitlines()[-1])
+def _measure(phase_fn, name: str) -> tuple[float, list[dict]]:
+    """Run a phase with interference sampling; retry while noisy. Returns
+    (timing from the quietest attempt, all attempts' stats)."""
+    attempts: list[dict] = []
+    for i in range(MAX_ATTEMPTS):
+        a = _host_sample()
+        sec = phase_fn()
+        stats = _phase_stats(a, _host_sample())
+        stats["sec"] = sec
+        attempts.append(stats)
+        if stats["foreign_cpu_cores"] <= QUIET_FOREIGN_CORES:
+            break
+        print(f"# {name} attempt {i}: foreign {stats['foreign_cpu_cores']} cores "
+              f"> {QUIET_FOREIGN_CORES} — retrying", file=sys.stderr)
+    best = min(attempts, key=lambda s: s["foreign_cpu_cores"])
+    return best["sec"], attempts
 
-    # A. executor proxy
-    t_n = _sec(_run(["0", "8", corpus, "2"], _EXEC))
+
+def _four_concurrent(corpus: str) -> float:
+    c = CORES_PER_EXEC
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _EXEC, str(p * 8), str(p * 8 + 8), f"{corpus}_shard{p}", "2"],
+            [sys.executable, "-c", _EXEC, str(p * c), str(p * c + c),
+             f"{corpus}_shard{p}", "2"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for p in range(4)
@@ -120,17 +217,39 @@ def main() -> None:
         if p.returncode != 0:
             raise RuntimeError(f"shard {i} executor failed (rc={p.returncode}):\n{err[-2000:]}")
         shard_secs.append(_sec(out))
-    t_4n = max(shard_secs)
-    t_iso = _sec(_run(["0", "8", f"{corpus}_shard0", "2"], _EXEC))
+    _four_concurrent.last_shards = shard_secs  # type: ignore[attr-defined]
+    return max(shard_secs)
+
+
+def main() -> None:
+    corpus = os.path.join(TMP, "scaling_corpus")
+    n_docs = int(_run([corpus, SF_DIR, str(REPLICATE)], _PREP).strip().splitlines()[-1])
+
+    # A. executor proxy
+    c = CORES_PER_EXEC
+    t_n, att_n = _measure(lambda: _sec(_run(["0", str(c), corpus, "2"], _EXEC)), "T_N")
+    t_4n, att_4n = _measure(lambda: _four_concurrent(corpus), "T_4N")
+    shard_secs = _four_concurrent.last_shards  # type: ignore[attr-defined]
+    t_iso, att_iso = _measure(
+        lambda: _sec(_run(["0", str(c), f"{corpus}_shard0", "2"], _EXEC)), "T_iso"
+    )
 
     # B. local[8] vs local[32]
-    t_l8 = _sec(_run(["0", "8", corpus, "3"], _EXEC))
-    t_l32 = _sec(_run(["0", "32", corpus, "3"], _EXEC))
+    t_l8, att_l8 = _measure(lambda: _sec(_run(["0", "8", corpus, "3"], _EXEC)), "local8")
+    t_l32, att_l32 = _measure(lambda: _sec(_run(["0", "32", corpus, "3"], _EXEC)), "local32")
 
+    quiet = all(
+        min(a, key=lambda s: s["foreign_cpu_cores"])["foreign_cpu_cores"]
+        <= QUIET_FOREIGN_CORES
+        for a in (att_n, att_4n, att_iso, att_l8, att_l32)
+    )
     print(json.dumps({
         "workload": "full extraction pipeline incl. structure UDF",
+        "cores_per_executor": CORES_PER_EXEC,
         "sf_dir": SF_DIR,
         "n_docs": n_docs,
+        "quiet_window": quiet,
+        "quiet_threshold_foreign_cores": QUIET_FOREIGN_CORES,
         "executor_proxy": {
             "t_1exec_full_sec": t_n,
             "t_4exec_concurrent_sec": t_4n,
@@ -146,6 +265,13 @@ def main() -> None:
             "t_local8_sec": t_l8,
             "t_local32_sec": t_l32,
             "efficiency": round(t_l8 / (4 * t_l32), 3),
+        },
+        "interference": {
+            "T_N": att_n,
+            "T_4N": att_4n,
+            "T_iso": att_iso,
+            "local8": att_l8,
+            "local32": att_l32,
         },
     }))
 
