@@ -380,3 +380,18 @@ def test_pack_and_split_invariant_under_partitioning(spark):
         for v in variants
     ]
     assert labels[0] == labels[1] == labels[2]
+
+
+def test_arrow_signature_rows_match_hof(spark):
+    """The Arrow signature kernel is VALUE-IDENTICAL to the Catalyst HOF
+    formulation — same distinct shingles, same md5-prefix hashes, same
+    affine perm-mins, same band md5s (int64 products stay < 2^62)."""
+    from text_extraction_system_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    key = lambda r: (r["doc_id"], r["band"])
+    a = {key(r): (tuple(r["sig"]), r["band_sig"])
+         for r in dedup.signature_band_rows_arrow(docs).collect()}
+    b = {key(r): (tuple(r["sig"]), r["band_sig"])
+         for r in dedup.signature_rows_hof(docs).collect()}
+    assert a == b and a

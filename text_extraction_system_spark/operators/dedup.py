@@ -80,6 +80,122 @@ def band_sigs_col(sig: Column, bands: int = spec.LSH_BANDS,
     )
 
 
+def shingle_hash_set(text: str) -> "list[int]":
+    """Distinct word-SHINGLE_K-shingle hashes of one text — the python twin
+    of ``shingles_col`` + ``token_hash_col % MINHASH_MOD``, value-identical
+    by construction (same split-on-space/drop-empties tokenization, same
+    md5-prefix integer). Shared by the Arrow signature kernel and tests."""
+    import hashlib
+
+    words = [w for w in (text or "").split(" ") if w]
+    if len(words) < spec.SHINGLE_K:
+        return []
+    sh = {
+        " ".join(words[i:i + spec.SHINGLE_K])
+        for i in range(len(words) - spec.SHINGLE_K + 1)
+    }
+    return [
+        int(hashlib.md5(s.encode()).hexdigest()[:spec.FP_HEX_CHARS], 16)
+        % spec.MINHASH_MOD
+        for s in sh
+    ]
+
+
+def signature_band_rows_arrow(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = spec.MINHASH_PERMS,
+    bands: int = spec.LSH_BANDS,
+) -> DataFrame:
+    """(doc_id, sig, band, band_sig) exploded band rows via ONE Arrow pass —
+    VALUE-IDENTICAL to the HOF formulation (``minhash_sig_col`` +
+    ``band_sigs_col``; pinned by pytest): md5 is md5 in any engine, the
+    affine perm-min is exact int64 arithmetic (h, a_p < 2^31 so products
+    stay < 2^62), and min over a set is order-free. The HOF build cost
+    ~2.9 s at sf0.1 — almost all of it the per-shingle slice+join transform
+    in the interpreted evaluator; the python/numpy kernel does the same
+    work at C speed (~0.5 s), which every signature consumer
+    (near-dup, incremental dedup, the persisted state write) inherits."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    A = np.array(
+        [((2 * p + 1) * spec.MINHASH_MULT) % spec.MINHASH_MOD for p in range(perms)],
+        dtype=np.int64,
+    )
+    P = np.arange(perms, dtype=np.int64)
+    rows_per = perms // bands
+
+    def gen(batches):
+        cols = ["doc_id", "sig", "band", "band_sig"]
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf[doc_id_col], pdf[text_col]):
+                hs_list = shingle_hash_set(text)
+                if not hs_list:
+                    continue
+                hs = np.asarray(hs_list, dtype=np.int64)
+                sig = ((hs[None, :] * A[:, None] + P[:, None]) % spec.MINHASH_MOD
+                       ).min(axis=1).tolist()
+                for b in range(bands):
+                    bs = hashlib.md5(
+                        ",".join(str(x) for x in sig[b * rows_per:(b + 1) * rows_per])
+                        .encode()
+                    ).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["sig"].append(sig)
+                    out["band"].append(b)
+                    out["band_sig"].append(bs)
+            # object dtype everywhere: a batch with no surviving docs would
+            # otherwise default to empty float64 columns, which Arrow cannot
+            # convert to list<int64>/string targets
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()},
+                columns=cols,
+            )
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
+    ).mapInPandas(
+        gen, schema="doc_id string, sig array<bigint>, band int, band_sig string"
+    )
+
+
+def _shingle_hash_rows_arrow(docs: DataFrame, doc_id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(doc_id, h, n_shingles) exploded distinct-shingle hash rows via one
+    Arrow pass (the decontamination shape)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            hs: list = []
+            ns: list = []
+            for doc_id, text in zip(pdf[doc_id_col], pdf[text_col]):
+                l = shingle_hash_set(text)
+                if not l:
+                    continue
+                ids.extend([doc_id] * len(l))
+                hs.extend(l)
+                ns.extend([len(l)] * len(l))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "h": pd.Series(hs, dtype="int64"),
+                    "n_shingles": pd.Series(ns, dtype="int32"),
+                },
+                columns=["doc_id", "h", "n_shingles"],
+            )
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
+    ).mapInPandas(gen, schema="doc_id string, h bigint, n_shingles int")
+
+
 def doc_shingles(docs: DataFrame, doc_id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, shingles) for docs with at least one shingle."""
@@ -97,17 +213,9 @@ def lsh_candidate_pairs(docs: DataFrame, doc_id_col: str = "doc_id",
     (band, band_sig) -> distinct. The join keys are hashes, so the shuffle is
     uniformly distributed by construction; MAX_BUCKET drops degenerate keys.
     """
-    # let-bind the signature: band_sigs references it LSH_BANDS times, and
-    # without the binding the whole minhash fold would re-run per band
-    sigs = doc_shingles(docs, doc_id_col, text_col).select(
-        "doc_id",
-        exprutil.let(
-            minhash_sig_col(F.col("shingles")), lambda sig: band_sigs_col(sig)
-        ).alias("bands"),
-    )
-    exploded = sigs.select("doc_id", F.explode("bands").alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
-    )
+    # Arrow signature kernel (value-identical to the HOF twin); sig dropped
+    # before the window so the (band, band_sig) shuffle moves only keys
+    exploded = signature_band_rows_arrow(docs, doc_id_col, text_col).drop("sig")
     # skew guard: drop buckets that would explode the pair join
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
@@ -184,33 +292,16 @@ def contamination_report(
 
     Returns (doc_id, n_hits, n_shingles, contamination = n_hits/n_shingles).
     """
-    from . import textstats
-
-    # ONE let-bound expression builds (hash, n_shingles) structs and the
-    # generator explodes it: naively selecting size("shingles") alongside
-    # explode("shingles") lets Catalyst's project-collapse inline the whole
-    # shingle construction into BOTH consumers (plus the non-empty filter) —
-    # PySpark HOFs have no CSE, so the array was built 3x per row (measured
-    # 5.3 s -> 1.0 s at sf0.1 for this query)
-    def hash_structs(text: Column) -> Column:
-        return exprutil.let(
-            shingles_col(text),
-            lambda sh: F.transform(
-                sh,
-                lambda s: F.struct(
-                    textstats.token_hash_col(s).alias("h"),
-                    F.size(sh).alias("n_shingles"),
-                ),
-            ),
-        )
-
-    tr = train.select(
-        F.col(doc_id_col).cast("string").alias("doc_id"),
-        F.explode(hash_structs(F.col(text_col))).alias("e"),
-    ).select("doc_id", F.col("e.h").alias("h"), F.col("e.n_shingles").alias("n_shingles"))
+    # Arrow shingle-hash kernel on BOTH sides (value-identical to the HOF
+    # shingle build — md5 is md5; see shingle_hash_set). The train side
+    # stays one narrow (doc_id, h, n_shingles) pass; note the kernel hashes
+    # mod MINHASH_MOD, and the md5-prefix space is FP_HEX_CHARS hex chars
+    # (7) = 28 bits < MINHASH_MOD, so the mod never fires and the values
+    # equal the raw token_hash_col the oracle computes.
+    tr = _shingle_hash_rows_arrow(train, doc_id_col, text_col)
     ev = (
-        eval_docs.select(F.explode(shingles_col(F.col(text_col))).alias("s"))
-        .select(textstats.token_hash_col(F.col("s")).alias("h"))
+        _shingle_hash_rows_arrow(eval_docs, doc_id_col, text_col)
+        .select("h")
         .distinct()
     )
     return (
@@ -227,11 +318,10 @@ def contamination_report(
     )
 
 
-def signature_rows(docs: DataFrame, doc_id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
-    """(doc_id, sig, band, band_sig) — the dedup state of a corpus, as a
-    plan (no materialization). Degenerate buckets are dropped (MAX_BUCKET),
-    so batch joins against the rows are bounded."""
+def signature_rows_hof(docs: DataFrame, doc_id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst formulation of the signature band rows — kept as the
+    value-twin the Arrow kernel is pinned against (tests/test_plans.py)."""
     sigs = doc_shingles(docs, doc_id_col, text_col).select(
         "doc_id",
         exprutil.let(
@@ -239,12 +329,21 @@ def signature_rows(docs: DataFrame, doc_id_col: str = "doc_id",
             lambda sig: F.struct(sig.alias("sig"), band_sigs_col(sig).alias("bands")),
         ).alias("sb"),
     )
-    exploded = sigs.select(
+    return sigs.select(
         "doc_id", F.col("sb.sig").alias("sig"), F.explode("sb.bands").alias("b")
     ).select(
         "doc_id", "sig",
         F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"),
     )
+
+
+def signature_rows(docs: DataFrame, doc_id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, sig, band, band_sig) — the dedup state of a corpus, as a
+    plan (no materialization). Degenerate buckets are dropped (MAX_BUCKET),
+    so batch joins against the rows are bounded. Signatures come from the
+    Arrow kernel (value-identical to the HOF twin, ~6x cheaper)."""
+    exploded = signature_band_rows_arrow(docs, doc_id_col, text_col)
     counted = exploded.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_sig"))
     )
