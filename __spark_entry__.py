@@ -316,6 +316,16 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.pack_bins(docs, budget=PACK_BUDGET)
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over the extracted text:
+    duplicate-line fractions (count + char-weighted) and the char share of
+    the most frequent word 2-gram."""
+    from text_extraction_system_spark.operators import textstats
+
+    res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
+    return textstats.repetition_rows(res)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (broadcast queries)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -613,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
+        "repetition": _q_repetition,
         "fingerprint": _q_fingerprint,
         "simhash": _q_simhash,
         "exact_dedup": _q_exact_dedup,
@@ -879,6 +890,58 @@ WHERE c.text != ''
     sql["lang_id"] = (
         f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_sql_lang('text')} AS language "
         "FROM documents"
+    )
+
+    # Gopher-style repetition signals over the assembled plain text — the
+    # oracle rebuilds the same lines/2-grams and the same deterministic
+    # (cnt DESC, gram ASC) top-1; integer-exact counts, one IEEE division
+    # per fraction (no round() — parity rule)
+    sql["repetition"] = (
+        _SQL_PAGES_CTE
+        + f""",
+plain AS (
+  SELECT doc_id, string_agg(ptext, '' ORDER BY page_number) AS plain_text
+  FROM pagebounds GROUP BY doc_id
+),
+ln AS (
+  SELECT doc_id, x AS line
+  FROM plain, unnest(list_filter(
+    string_split(replace(plain_text, chr(12), ''), chr(10)), x -> x != '')) AS t(x)
+),
+per_line AS (SELECT doc_id, line, count(*) AS cnt FROM ln GROUP BY doc_id, line),
+line_stats AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(cnt * length(line)) AS BIGINT) AS line_chars,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS BIGINT) AS dup_chars
+  FROM per_line GROUP BY doc_id
+),
+tok AS (SELECT doc_id, {_sql_tokens('plain_text')} AS ws FROM plain),
+gr AS (
+  SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM tok, unnest(range(len(ws) - 1)) AS t(i) WHERE len(ws) >= 2
+),
+per_gram AS (SELECT doc_id, gram, count(*) AS cnt FROM gr GROUP BY doc_id, gram),
+topg AS (
+  SELECT doc_id, gram AS top_gram, cnt AS top_cnt FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+    FROM per_gram) WHERE rn = 1
+),
+gram_tot AS (
+  SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS gram_chars
+  FROM per_gram GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines,
+       CAST(l.n_lines - l.n_distinct AS DOUBLE) / l.n_lines AS dup_line_frac,
+       CAST(l.dup_chars AS DOUBLE) / l.line_chars AS dup_line_char_frac,
+       t.top_gram,
+       CAST(t.top_cnt * length(t.top_gram) AS DOUBLE) / g.gram_chars AS top_gram_char_frac
+FROM line_stats l
+JOIN topg t USING (doc_id)
+JOIN gram_tot g USING (doc_id)
+"""
     )
 
     all_sw = sorted({w for ws in spec.LANG_STOPWORDS.values() for w in ws})

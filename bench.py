@@ -35,6 +35,7 @@ HEADLINE = [
     "boilerplate",
     "tables",
     "quality",
+    "repetition",
     "lang_id",
     "fingerprint",
     "simhash",

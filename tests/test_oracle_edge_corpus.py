@@ -39,7 +39,7 @@ DOC_ONLY_QUERIES = [
     "incremental_dedup", "release_manifest", "rotation",
     "media_decode", "media_features", "media_near_dup", "tables", "char_coords", "text_coords",
     "coords_text", "sections_toc", "deskew", "reading_order",
-    "curation_funnel",
+    "curation_funnel", "repetition",
 ]
 
 

@@ -148,3 +148,78 @@ def simhash_col(text: Column, bits: int = 32) -> Column:
         votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
     )
     return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def bigram_col(text: Column) -> Column:
+    """Adjacent word 2-grams of the normalized token stream."""
+    from .exprutil import let
+
+    def grams(ws: Column) -> Column:
+        return F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens_col(text), grams)
+
+
+def repetition_rows(assembled, text_col: str = "plain_text"):
+    """Gopher-style repetition quality signals over the EXTRACTED text (the
+    post-extraction filter every LLM data pipeline runs — Rae et al. 2021
+    'repetition' heuristics): fraction of duplicate lines (count and
+    char-weighted) and the character share of the most frequent word
+    2-gram. Line identity uses the engine's own '\\n' paragraph separators;
+    '\\f' page marks are stripped first.
+
+    Scale shape: two explode -> two-level hash aggregations (doc_id, key)
+    -> per-doc rollup, plus one per-doc top-1 window over 2-gram counts —
+    no per-doc state wider than its own lines/grams, shuffles keyed by
+    (doc_id, line/gram) hash. Ties on the top 2-gram break to the
+    lexicographically smallest gram (deterministic, SQL-portable)."""
+    from pyspark.sql.window import Window
+
+    lines_arr = F.filter(
+        F.split(F.translate(F.col(text_col), "\f", ""), "\n"),
+        lambda x: x != "",
+    )
+    lines = assembled.select("doc_id", F.explode(lines_arr).alias("line"))
+    per_line = lines.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.length("line")).cast("bigint").alias("line_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+        ).cast("bigint").alias("dup_chars"),
+    )
+    grams = assembled.select(
+        "doc_id", F.explode(bigram_col(F.col(text_col))).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram"))
+    top = (
+        per_gram.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_gram"), F.col("cnt").alias("top_cnt"))
+    )
+    gram_tot = per_gram.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.length("gram")).cast("bigint").alias("gram_chars")
+    )
+    return (
+        line_stats.join(top, "doc_id").join(gram_tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            ((F.col("n_lines") - F.col("n_distinct")) / F.col("n_lines"))
+            .alias("dup_line_frac"),
+            (F.col("dup_chars") / F.col("line_chars")).alias("dup_line_char_frac"),
+            "top_gram",
+            (F.col("top_cnt") * F.length("top_gram") / F.col("gram_chars"))
+            .alias("top_gram_char_frac"),
+        )
+    )
