@@ -32,7 +32,42 @@ def extract_from_documents(
 
     derive_spans assigns sequential offsets, so density is an invariant
     here — declared statically (dense=True) rather than re-discovered with
-    a per-row pass (the round-2 assembly-family bench regression)."""
+    a per-row pass (the round-2 assembly-family bench regression).
+
+    Giant-doc routing happens HERE, on the RAW text length, not downstream
+    on ``size(spans)``: a filter over the derived-spans projection gets
+    collapsed/pushed by Catalyst so the span-construction HOF re-evaluates
+    once for the predicate and again for the output — per branch (measured:
+    the two routing filters more than doubled the restitch stage, 1.8 s ->
+    4.1 s on 320k docs). ``length(text)`` is a scan-cheap upper bound:
+    words <= (len+1)/2 and spans <= 2*ceil(words/8), so any doc that COULD
+    exceed ``fanout_threshold`` spans satisfies len > 8*threshold - 17.
+    Long-worded docs below the span threshold may still route to fanout —
+    harmless, both paths are result-identical (path equivalence is
+    pytest-pinned)."""
+    if fanout_threshold is not None and fanout_threshold > 0:
+        tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
+        cutoff = 8 * fanout_threshold - 17
+        # the non-space guard keeps degenerate all-space giants (zero spans)
+        # on the inline path, so the fanout branch never needs its
+        # empty-doc carry-through union — one fewer plan branch for the
+        # downstream structure UDF to be pushed into
+        has_word = F.col(text_col).rlike("[^ ]")
+        giant_pred = (tlen > cutoff) & has_word
+        small = ds.derive_spans(
+            docs.where((tlen <= cutoff) | ~has_word),
+            doc_id_col=doc_id_col, text_col=text_col,
+        )
+        giant = ds.derive_spans(
+            docs.where(giant_pred), doc_id_col=doc_id_col, text_col=text_col
+        )
+        stitched = restitch.process_spans_inline(small).unionByName(
+            restitch.process_spans_fanout(giant, may_have_empty=False)
+        )
+        assembled = layout.assemble(stitched, dense=True)
+        if not with_structure:
+            return assembled
+        return structure.with_structure(assembled)
     spans = ds.derive_spans(docs, doc_id_col=doc_id_col, text_col=text_col)
     return extract_from_spans(
         spans,
