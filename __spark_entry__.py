@@ -338,22 +338,24 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_lsh_topk(emb)
 
 
-#: trained quantizers per corpus (train once / serve many — the IVF
-#: deployment shape; serving cost is what the bench times)
-_IVF_TRAINED: dict[str, list] = {}
-
-
 def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k served from a k-means-trained quantizer (Forgy seed + 5
-    distributed Lloyd steps). Training is float-order-dependent, so this
-    query has no bit-exact SQL oracle (rows-only driver check); neighbor
-    QUALITY is pinned by tests/test_recall.py (occupancy spread + the
-    recall-vs-probes curve — the hash-centroid oracle variant degenerates
-    to one cell on this corpus and prunes nothing)."""
+    distributed Lloyd steps), persisted per corpus (train once / serve
+    many — across sessions; state.write_ivf_centroids). Training is
+    float-order-dependent, so this query has no bit-exact SQL oracle
+    (rows-only driver check); neighbor QUALITY is pinned by
+    tests/test_recall.py (occupancy spread + the recall-vs-probes curve —
+    the hash-centroid oracle variant degenerates to one cell on this
+    corpus and prunes nothing)."""
+    from text_extraction_system_spark.operators import state
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if sf_dir not in _IVF_TRAINED:
-        _IVF_TRAINED[sf_dir] = similarity.ivf_train(emb, iters=5)
-    return similarity.ivf_topk(emb, centroids=_IVF_TRAINED[sf_dir])
+    base = _state_dir(sf_dir)
+    cents = state.read_ivf_centroids(base)
+    if cents is None:
+        cents = similarity.ivf_train(emb, iters=5)
+        state.write_ivf_centroids(cents, base)
+    return similarity.ivf_topk(emb, centroids=cents)
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,12 +208,13 @@ def test_curation_stream_matches_batch_survivors(spark, tmp_path):
 
 
 def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
-    """Stream-static incremental dedup: the streamed batch joined against
-    the committed signature table must flag exactly the pairs the batch
-    operator flags."""
+    """Stream-static incremental dedup against the PERSISTED signature
+    table (the production shape: the committed corpus's durable state on
+    disk, every micro-batch stream-static joins it): must flag exactly the
+    pairs the batch operator flags."""
     from pyspark.sql import functions as F
 
-    from text_extraction_system_spark.operators import dedup
+    from text_extraction_system_spark.operators import dedup, state
 
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     docs = (
@@ -227,7 +228,8 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     )
     new_docs.write.parquet(in_dir)
 
-    sigs = dedup.signature_table(committed_docs)
+    state.write_signature_table(committed_docs, str(tmp_path / "state"))
+    sigs = state.read_signature_table(spark, str(tmp_path / "state"))
     stream = spark.readStream.schema(new_docs.schema).parquet(in_dir)
     q = (
         jobs.incremental_dedup_stream(stream, sigs)

@@ -129,3 +129,31 @@ def read_srp_buckets(spark: SparkSession, base_dir: str,
 
 def srp_buckets_exist(base_dir: str) -> bool:
     return os.path.exists(os.path.join(base_dir, _SRP_DIR, "_SUCCESS"))
+
+
+_IVF_FILE = "ivf_centroids.json"
+
+
+def write_ivf_centroids(centroids: list, base_dir: str) -> str:
+    """Persist a trained IVF quantizer (train once / serve many — across
+    sessions). Atomic replace; json round-trips python floats exactly, so
+    a reload serves bit-identical assignments."""
+    import json
+
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, _IVF_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids, f)
+    os.replace(tmp, path)
+    return path
+
+
+def read_ivf_centroids(base_dir: str) -> list | None:
+    import json
+
+    path = os.path.join(base_dir, _IVF_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

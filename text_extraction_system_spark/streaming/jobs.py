@@ -228,7 +228,10 @@ def incremental_dedup_stream(
     """Continuous-ingest twin of ``dedup.incremental_near_dup``: each
     arriving doc is MinHash-signed (narrow per-row expressions — stream-
     safe) and STREAM-STATIC joined against the committed corpus's persisted
-    signature table; matches verified by the sketch estimate.
+    signature table; matches verified by the sketch estimate. Pass
+    ``state.read_signature_table(...)`` as ``committed_sigs`` for the
+    production shape (durable partitioned table on disk — pytest runs the
+    stream against exactly that).
 
     No aggregation is needed on the stream: the estimate is identical for
     every band a pair collides in, so multi-band duplicates are dropped by
