@@ -170,10 +170,7 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        textstats.simhash_col(F.col("text")).alias("simhash"),
-    )
+    return textstats.simhash_rows(_docs(spark, sf_dir))
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

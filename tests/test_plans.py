@@ -395,3 +395,37 @@ def test_arrow_signature_rows_match_hof(spark):
     b = {key(r): (tuple(r["sig"]), r["band_sig"])
          for r in dedup.signature_rows_hof(docs).collect()}
     assert a == b and a
+
+
+def test_arrow_simhash_matches_hof(spark):
+    """The Arrow simhash kernel equals the Catalyst vote fold value-for-
+    value (same tokens, same md5 token hashes, same bit votes)."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"]: r["simhash"]
+         for r in textstats.simhash_rows(docs).collect()}
+    b = {r["doc_id"]: r["simhash"]
+         for r in docs.select(
+             F.col("doc_id").cast("string").alias("doc_id"),
+             textstats.simhash_col(F.col("text")).alias("simhash"),
+         ).collect()}
+    assert a == b and a
+
+
+def test_arrow_readorder_synthesis_matches_hof(spark):
+    """The Arrow word-box synthesis equals the Catalyst one value-for-value
+    (tokens, md5 column counts, layout coords, md5-keyed scramble order)."""
+    from text_extraction_system_spark.operators import readorder_op
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    def snap(df):
+        return {
+            r["doc_id"]: (tuple(r["words"]), tuple(r["xs"]), tuple(r["ys"]), tuple(r["ws"]))
+            for r in df.collect()
+        }
+    a = snap(readorder_op.synth_word_box_arrays_arrow(docs))
+    b = snap(readorder_op.synth_word_box_arrays(docs))
+    assert a == b and a

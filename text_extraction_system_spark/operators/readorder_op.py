@@ -175,4 +175,63 @@ def reading_order_query(spark, sf_dir: str) -> DataFrame:
     # implicitly; the array path must filter). trim(text) != '' is exactly
     # "has at least one token" and costs nothing vs re-tokenizing.
     docs = docs.where(F.trim(F.col("text")) != "")
-    return reconstruct_from_box_arrays(synth_word_box_arrays(docs))
+    return reconstruct_from_box_arrays(synth_word_box_arrays_arrow(docs))
+
+
+def synth_word_box_arrays_arrow(docs: DataFrame) -> DataFrame:
+    """(doc_id, words, xs, ys, ws) via one Arrow pass — VALUE-IDENTICAL to
+    ``synth_word_box_arrays`` (pinned by pytest): same tokenization
+    (textstats.py_tokens), same md5 column count and shuffle keys, same
+    integer layout arithmetic (exact as doubles), same scramble order
+    (sorted by the md5 hex key — bytewise lexicographic in both engines).
+    The Catalyst synthesis pays an interpreted slice+fold and an md5 per
+    TOKEN; here it is C-speed python (~2 s -> ~0.6 s at sf0.1)."""
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "words": [], "xs": [], "ys": [], "ws": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = textstats.py_tokens(text)
+                h0 = hashlib.md5(f"cols:{doc_id}".encode()).hexdigest()[0]
+                n_cols = 1 + _HEX.index(h0) % 3
+                n = len(toks)
+                total_lines = -(-n // WORDS_PER_LINE)
+                lines_per_col = -(-total_lines // n_cols) if total_lines else 1
+                max_len = max((len(t) for t in toks), default=0)
+                pitch = (WORDS_PER_LINE * CHAR_W) * (max_len + 1) + 40
+                rows = []
+                x_in_line = 0
+                for i, word in enumerate(toks):
+                    line, k = divmod(i, WORDS_PER_LINE)
+                    if k == 0:
+                        x_in_line = 0
+                    col = line // lines_per_col
+                    shuf = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+                    rows.append((
+                        shuf, word,
+                        float(col * pitch + x_in_line),
+                        float((line % lines_per_col) * LINE_H),
+                        float(CHAR_W * len(word)),
+                    ))
+                    x_in_line += CHAR_W * (len(word) + 1)
+                rows.sort()  # scramble: md5-hex key order, as array_sort
+                out["doc_id"].append(doc_id)
+                out["words"].append([r[1] for r in rows])
+                out["xs"].append([r[2] for r in rows])
+                out["ys"].append([r[3] for r in rows])
+                out["ws"].append([r[4] for r in rows])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()},
+                columns=["doc_id", "words", "xs", "ys", "ws"],
+            )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(
+        gen,
+        schema="doc_id string, words array<string>, xs array<double>, "
+               "ys array<double>, ws array<double>",
+    )

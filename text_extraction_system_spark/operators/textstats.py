@@ -223,3 +223,57 @@ def repetition_rows(assembled, text_col: str = "plain_text"):
             .alias("top_gram_char_frac"),
         )
     )
+
+
+def py_tokens(text: str) -> list:
+    """Python twin of ``tokens_col`` (lower -> \\s+ squash -> trim ->
+    split-on-space -> drop empties); exact on the corpus alphabet (ASCII —
+    Java/Python lowercase and \\s agree there). Shared by Arrow kernels."""
+    import re
+
+    squashed = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    return [w for w in squashed.split(" ") if w]
+
+
+def simhash_rows(docs, doc_id_col: str = "doc_id", text_col: str = "text",
+                 bits: int = 32):
+    """(doc_id, simhash) via one Arrow pass — VALUE-IDENTICAL to the
+    ``simhash_col`` fold (pinned by pytest): same token stream, same
+    8-hex-char md5 token hashes, same +1/-1 bit votes with bit set iff
+    vote > 0, all exact integer arithmetic. The interpreted fold costs
+    32 zip_with lambda evaluations per token; the numpy kernel does the
+    same votes in one (tokens x bits) pass (~1.5 s -> ~0.4 s at sf0.1)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811 (local, for select)
+
+    def gen(batches):
+        shifts = np.arange(bits, dtype=np.uint64)
+        for pdf in batches:
+            ids: list = []
+            vals: list = []
+            for doc_id, text in zip(pdf[doc_id_col], pdf[text_col]):
+                toks = py_tokens(text)
+                if toks:
+                    H = np.fromiter(
+                        (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                         for t in toks),
+                        dtype=np.uint64, count=len(toks),
+                    )
+                    ones = ((H[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+                    votes = 2 * ones.astype(np.int64) - len(toks)
+                    sim = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                else:
+                    sim = 0  # the fold over zero hashes leaves every vote 0
+                ids.append(doc_id)
+                vals.append(sim)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype=object),
+                "simhash": pd.Series(vals, dtype="int64"),
+            })
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
+    ).mapInPandas(gen, schema="doc_id string, simhash bigint")
