@@ -24,17 +24,47 @@ MAX_TOKENS = 80
 
 
 def doc_signals(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Per-doc curation signals in one narrow projection; ``extra_cols``
-    pass through untouched (e.g. the ingest timestamp in the streaming twin)."""
-    q = textstats.quality_cols(F.col("text"))
-    return docs.select(
+    """Per-doc curation signals in one narrow pass; ``extra_cols``
+    pass through untouched (e.g. the ingest timestamp in the streaming twin).
+
+    ONE tokenization feeds every signal: the signals are built as a single
+    let-bound struct and surfaced through ``explode(array(struct))`` — a
+    Generate node is a projection-collapse BARRIER, so downstream field
+    extractions read the materialized struct instead of inlining (and
+    re-evaluating) the whole expression per consumer. The naive per-column
+    projection re-ran tokens_col ~15x per row (12 stopword tables + the
+    quality and count signals)."""
+    from .exprutil import let
+
+    def signals(toks) -> F.Column:
+        q = textstats.quality_cols_from_tokens(toks, F.col("text"))
+        return F.struct(
+            textstats.detect_language_from_tokens(toks, F.col("text")).alias(
+                "language"
+            ),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            q["quality_score"].alias("quality_score"),
+        )
+
+    with_sig = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "source",
         F.col("lang").alias("declared_lang"),
-        textstats.detect_language_col(F.col("text")).alias("language"),
-        textstats.token_count_col(F.col("text")).alias("n_tokens"),
-        q["quality_score"].alias("quality_score"),
         F.md5("text").alias("content_hash"),
+        F.col("text"),
+        *extra_cols,
+        F.explode(F.array(let(textstats.tokens_col(F.col("text")), signals))).alias(
+            "sig"
+        ),
+    )
+    return with_sig.select(
+        "doc_id",
+        "source",
+        "declared_lang",
+        F.col("sig.language").alias("language"),
+        F.col("sig.n_tokens").alias("n_tokens"),
+        F.col("sig.quality_score").alias("quality_score"),
+        "content_hash",
         *extra_cols,
     )
 

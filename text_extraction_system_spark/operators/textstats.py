@@ -46,10 +46,12 @@ def _stopword_hits(tokens: Column, lang: str) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
 
 
-def detect_language_col(text: Column) -> Column:
+def detect_language_from_tokens(toks: Column, text: Column) -> Column:
     """Argmax of stopword hits with LANG_PRIORITY tie-break; all-zero -> 'en'.
-    Matches ``core.langid.detect_language`` exactly."""
-    toks = tokens_col(text)
+    Matches ``core.langid.detect_language`` exactly. Takes the token array
+    as a BOUND value so callers can share one tokenization across signals
+    (the naive per-signal form re-evaluated tokens_col once per stopword
+    table — 12x per row)."""
     h = {lang: _stopword_hits(toks, lang) for lang in spec.LANG_PRIORITY}
     return (
         F.when(F.regexp_count(text, F.lit(spec.CJK_REGEX)) > 0, "zh")
@@ -60,10 +62,22 @@ def detect_language_col(text: Column) -> Column:
     )
 
 
+def detect_language_col(text: Column) -> Column:
+    """One-shot form: tokens let-bound, detection applied once."""
+    from .exprutil import let
+
+    return let(tokens_col(text), lambda toks: detect_language_from_tokens(toks, text))
+
+
 def quality_cols(text: Column) -> dict[str, Column]:
     """Quality-scoring signals: word count, mean word length, stopword ratio,
     punctuation ratio, and a composite keep-score in [0,1]."""
-    toks = tokens_col(text)
+    return quality_cols_from_tokens(tokens_col(text), text)
+
+
+def quality_cols_from_tokens(toks: Column, text: Column) -> dict[str, Column]:
+    """``quality_cols`` with the token array passed as a bound value (see
+    detect_language_from_tokens for why)."""
     n_words = F.size(toks)
     n_chars = F.length(text)
     all_sw = sorted({w for ws in spec.LANG_STOPWORDS.values() for w in ws})
