@@ -320,7 +320,7 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_extraction_system_spark.operators import textstats
 
     res = pipeline.extract_from_documents(_docs(spark, sf_dir), with_structure=False)
-    return textstats.repetition_rows(res)
+    return textstats.repetition_rows_arrow(res)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

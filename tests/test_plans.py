@@ -429,3 +429,22 @@ def test_arrow_readorder_synthesis_matches_hof(spark):
     a = snap(readorder_op.synth_word_box_arrays_arrow(docs))
     b = snap(readorder_op.synth_word_box_arrays(docs))
     assert a == b and a
+
+
+def test_arrow_repetition_matches_dataframe_form(spark):
+    """The shuffle-free repetition kernel equals the explode/groupBy
+    DataFrame form value-for-value."""
+    from text_extraction_system_spark import pipeline
+    from text_extraction_system_spark.operators import textstats
+
+    res = pipeline.extract_from_documents(
+        spark.read.parquet(f"{SF}/documents.parquet"), with_structure=False
+    )
+    def snap(df):
+        return {r["doc_id"]: (r["n_lines"], f"{r['dup_line_frac']:.17g}",
+                              f"{r['dup_line_char_frac']:.17g}", r["top_gram"],
+                              f"{r['top_gram_char_frac']:.17g}")
+                for r in df.collect()}
+    a = snap(textstats.repetition_rows_arrow(res))
+    b = snap(textstats.repetition_rows(res))
+    assert a == b and a

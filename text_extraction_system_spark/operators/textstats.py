@@ -291,3 +291,54 @@ def simhash_rows(docs, doc_id_col: str = "doc_id", text_col: str = "text",
     return docs.select(
         F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
     ).mapInPandas(gen, schema="doc_id string, simhash bigint")
+
+
+def repetition_rows_arrow(assembled, text_col: str = "plain_text"):
+    """Shuffle-free Arrow twin of ``repetition_rows`` (value-identical,
+    pinned by pytest): per-doc line/2-gram counting is bounded by the doc's
+    own size, so a python Counter per doc beats exploding every line and
+    2-gram into two corpus-wide shuffles — at 10^12 docs the exploded
+    groupBy shape moves ~tokens-many rows through the cluster twice for
+    counts each task could produce locally. Ties on the top 2-gram break to
+    the lexicographically smallest gram, as in the DataFrame form."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def gen(batches):
+        cols = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+                "top_gram", "top_gram_char_frac"]
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                lines = [x for x in (text or "").replace("\f", "").split("\n") if x]
+                toks = py_tokens(text)
+                grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+                if not lines or not grams:
+                    continue  # inner-join semantics of the DataFrame form
+                lc = Counter(lines)
+                n_lines = len(lines)
+                line_chars = sum(len(l) for l in lines)
+                dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
+                gc = Counter(grams)
+                top_gram, top_cnt = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))
+                gram_chars = sum(len(g) for g in grams)
+                out["doc_id"].append(doc_id)
+                out["n_lines"].append(n_lines)
+                out["dup_line_frac"].append((n_lines - len(lc)) / n_lines)
+                out["dup_line_char_frac"].append(dup_chars / line_chars)
+                out["top_gram"].append(top_gram)
+                out["top_gram_char_frac"].append(top_cnt * len(top_gram) / gram_chars)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=(object if k in ("doc_id", "top_gram")
+                                        else "int64" if k == "n_lines" else "float64"))
+                 for k, v in out.items()},
+                columns=cols,
+            )
+
+    return assembled.select("doc_id", text_col).mapInPandas(
+        gen,
+        schema="doc_id string, n_lines bigint, dup_line_frac double, "
+               "dup_line_char_frac double, top_gram string, "
+               "top_gram_char_frac double",
+    )
