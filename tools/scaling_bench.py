@@ -61,6 +61,11 @@ TMP = tempfile.gettempdir()
 
 #: a phase counts as quiet when co-runner CPU stays below this many cores
 QUIET_FOREIGN_CORES = float(os.environ.get("SCALING_QUIET_CORES", "1.5"))
+#: ... and hypervisor steal below this many cores. Steal is the one that
+#: actually bites here: one T_4N attempt recorded 3.1 steal cores and raw
+#: efficiency collapsed to 0.195 with ZERO foreign-process CPU — exactly
+#: the invisible interference class behind round-3's 0.43-0.72 spread.
+QUIET_STEAL_CORES = float(os.environ.get("SCALING_QUIET_STEAL", "0.5"))
 MAX_ATTEMPTS = int(os.environ.get("SCALING_MAX_ATTEMPTS", "3"))
 
 _PREP = r"""
@@ -193,11 +198,14 @@ def _measure(phase_fn, name: str) -> tuple[float, list[dict]]:
         stats = _phase_stats(a, _host_sample())
         stats["sec"] = sec
         attempts.append(stats)
-        if stats["foreign_cpu_cores"] <= QUIET_FOREIGN_CORES:
+        if (stats["foreign_cpu_cores"] <= QUIET_FOREIGN_CORES
+                and stats["steal_cores"] <= QUIET_STEAL_CORES):
             break
-        print(f"# {name} attempt {i}: foreign {stats['foreign_cpu_cores']} cores "
-              f"> {QUIET_FOREIGN_CORES} — retrying", file=sys.stderr)
-    best = min(attempts, key=lambda s: s["foreign_cpu_cores"])
+        print(f"# {name} attempt {i}: foreign {stats['foreign_cpu_cores']} / "
+              f"steal {stats['steal_cores']} cores over threshold — retrying",
+              file=sys.stderr)
+    best = min(attempts,
+               key=lambda s: (s["foreign_cpu_cores"] + s["steal_cores"]))
     return best["sec"], attempts
 
 
@@ -238,11 +246,12 @@ def main() -> None:
     t_l8, att_l8 = _measure(lambda: _sec(_run(["0", "8", corpus, "3"], _EXEC)), "local8")
     t_l32, att_l32 = _measure(lambda: _sec(_run(["0", "32", corpus, "3"], _EXEC)), "local32")
 
-    quiet = all(
-        min(a, key=lambda s: s["foreign_cpu_cores"])["foreign_cpu_cores"]
-        <= QUIET_FOREIGN_CORES
-        for a in (att_n, att_4n, att_iso, att_l8, att_l32)
-    )
+    def _quiet(atts):
+        b = min(atts, key=lambda s: (s["foreign_cpu_cores"] + s["steal_cores"]))
+        return (b["foreign_cpu_cores"] <= QUIET_FOREIGN_CORES
+                and b["steal_cores"] <= QUIET_STEAL_CORES)
+
+    quiet = all(_quiet(a) for a in (att_n, att_4n, att_iso, att_l8, att_l32))
     print(json.dumps({
         "workload": "full extraction pipeline incl. structure UDF",
         "cores_per_executor": CORES_PER_EXEC,
@@ -250,6 +259,7 @@ def main() -> None:
         "n_docs": n_docs,
         "quiet_window": quiet,
         "quiet_threshold_foreign_cores": QUIET_FOREIGN_CORES,
+        "quiet_threshold_steal_cores": QUIET_STEAL_CORES,
         "executor_proxy": {
             "t_1exec_full_sec": t_n,
             "t_4exec_concurrent_sec": t_4n,
