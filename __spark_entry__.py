@@ -247,8 +247,15 @@ def _state_dir(sf_dir: str) -> str:
         f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "spark-warehouse", f"state_{name}_{key}")
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse")
+    try:
+        os.makedirs(base, exist_ok=True)
+    except OSError:  # read-only checkout: fall back to the temp dir
+        import tempfile
+
+        base = os.path.join(tempfile.gettempdir(), "spark_graft_state")
+        os.makedirs(base, exist_ok=True)
+    return os.path.join(base, f"state_{name}_{key}")
 
 
 def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
