@@ -188,15 +188,20 @@ def _run(args: list[str], snippet: str) -> str:
     return proc.stdout
 
 
-def _measure(phase_fn, name: str) -> tuple[float, list[dict]]:
+def _measure(phase_fn, name: str) -> tuple[dict, list[dict]]:
     """Run a phase with interference sampling; retry while noisy. Returns
-    (timing from the quietest attempt, all attempts' stats)."""
+    (the quietest attempt's stats dict — timing plus any extras phase_fn
+    attached — and all attempts' stats). phase_fn may return a bare float
+    or a dict with at least 'sec'; the dict form lets a phase report
+    per-shard timings that stay attached to the attempt they came from
+    (previously the shard table was read from the LAST attempt while the
+    headline number came from the quietest — they could mismatch)."""
     attempts: list[dict] = []
     for i in range(MAX_ATTEMPTS):
         a = _host_sample()
-        sec = phase_fn()
+        res = phase_fn()
         stats = _phase_stats(a, _host_sample())
-        stats["sec"] = sec
+        stats.update(res if isinstance(res, dict) else {"sec": res})
         attempts.append(stats)
         if (stats["foreign_cpu_cores"] <= QUIET_FOREIGN_CORES
                 and stats["steal_cores"] <= QUIET_STEAL_CORES):
@@ -206,10 +211,10 @@ def _measure(phase_fn, name: str) -> tuple[float, list[dict]]:
               file=sys.stderr)
     best = min(attempts,
                key=lambda s: (s["foreign_cpu_cores"] + s["steal_cores"]))
-    return best["sec"], attempts
+    return best, attempts
 
 
-def _four_concurrent(corpus: str) -> float:
+def _four_concurrent(corpus: str) -> dict:
     c = CORES_PER_EXEC
     procs = [
         subprocess.Popen(
@@ -225,8 +230,7 @@ def _four_concurrent(corpus: str) -> float:
         if p.returncode != 0:
             raise RuntimeError(f"shard {i} executor failed (rc={p.returncode}):\n{err[-2000:]}")
         shard_secs.append(_sec(out))
-    _four_concurrent.last_shards = shard_secs  # type: ignore[attr-defined]
-    return max(shard_secs)
+    return {"sec": max(shard_secs), "shard_secs": shard_secs}
 
 
 def main() -> None:
@@ -235,16 +239,19 @@ def main() -> None:
 
     # A. executor proxy
     c = CORES_PER_EXEC
-    t_n, att_n = _measure(lambda: _sec(_run(["0", str(c), corpus, "2"], _EXEC)), "T_N")
-    t_4n, att_4n = _measure(lambda: _four_concurrent(corpus), "T_4N")
-    shard_secs = _four_concurrent.last_shards  # type: ignore[attr-defined]
-    t_iso, att_iso = _measure(
+    best_n, att_n = _measure(lambda: _sec(_run(["0", str(c), corpus, "2"], _EXEC)), "T_N")
+    best_4n, att_4n = _measure(lambda: _four_concurrent(corpus), "T_4N")
+    t_n, t_4n = best_n["sec"], best_4n["sec"]
+    shard_secs = best_4n["shard_secs"]  # same attempt as t_4n by construction
+    best_iso, att_iso = _measure(
         lambda: _sec(_run(["0", str(c), f"{corpus}_shard0", "2"], _EXEC)), "T_iso"
     )
+    t_iso = best_iso["sec"]
 
     # B. local[8] vs local[32]
-    t_l8, att_l8 = _measure(lambda: _sec(_run(["0", "8", corpus, "3"], _EXEC)), "local8")
-    t_l32, att_l32 = _measure(lambda: _sec(_run(["0", "32", corpus, "3"], _EXEC)), "local32")
+    best_l8, att_l8 = _measure(lambda: _sec(_run(["0", "8", corpus, "3"], _EXEC)), "local8")
+    best_l32, att_l32 = _measure(lambda: _sec(_run(["0", "32", corpus, "3"], _EXEC)), "local32")
+    t_l8, t_l32 = best_l8["sec"], best_l32["sec"]
 
     def _quiet(atts):
         b = min(atts, key=lambda s: (s["foreign_cpu_cores"] + s["steal_cores"]))
