@@ -236,15 +236,26 @@ INCR_THRESHOLD = 0.5
 
 def _state_dir(sf_dir: str) -> str:
     """Durable-state directory for a corpus (write-once, like the production
-    committed tables). Keyed by the documents file's identity (path + mtime
-    + size) so a changed corpus never reuses stale signatures — the local
-    twin of an Iceberg snapshot id."""
+    committed tables). Keyed by a content-derived id — the sorted data-file
+    list with per-file size+mtime (lineage.snapshot_id's recipe) — so a
+    changed corpus never reuses stale signatures. A single stat of the path
+    is NOT enough: a Spark-written corpus is a DIRECTORY, and an in-place
+    regeneration that preserves the directory entry keeps its inode
+    mtime/size while every data file changes."""
     import hashlib
 
     doc = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(doc)
+    entries = []
+    for root, _dirs, files in os.walk(doc):
+        for fn in files:
+            st = os.stat(os.path.join(root, fn))
+            entries.append(f"{os.path.relpath(os.path.join(root, fn), doc)}"
+                           f":{st.st_size}:{st.st_mtime_ns}")
+    if not entries:  # single-file parquet
+        st = os.stat(doc)
+        entries = [f".:{st.st_size}:{st.st_mtime_ns}"]
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        (os.path.abspath(sf_dir) + "|" + "|".join(sorted(entries))).encode()
     ).hexdigest()[:10]
     name = os.path.basename(os.path.normpath(sf_dir))
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse")
@@ -346,11 +357,13 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k served from a k-means-trained quantizer (Forgy seed + 5
     distributed Lloyd steps), persisted per corpus (train once / serve
     many — across sessions; state.write_ivf_centroids). Training is
-    float-order-dependent, so this query has no bit-exact SQL oracle
-    (rows-only driver check); neighbor QUALITY is pinned by
-    tests/test_recall.py (occupancy spread + the recall-vs-probes curve —
-    the hash-centroid oracle variant degenerates to one cell on this
-    corpus and prunes nothing)."""
+    bit-deterministic (left-fold Lloyd means in ascending-id order, see
+    similarity.ivf_train_step), so the DuckDB oracle replays the ENTIRE
+    training — seed + 5 unrolled Lloyd iterations — plus serving, and the
+    driver hash-checks the result like any other query. Neighbor QUALITY
+    is additionally pinned by tests/test_recall.py (occupancy spread + the
+    recall-vs-probes curve — the hash-centroid oracle variant degenerates
+    to one cell on this corpus and prunes nothing)."""
     from text_extraction_system_spark.operators import state
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1500,6 +1513,82 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # Trained-IVF twin: replays the TRAINING bit-for-bit — Forgy seed (first
+    # IVF_CENTROIDS vectors by id) + ivf_train's 5 Lloyd iterations unrolled
+    # as CTE layers. Every float op mirrors the engine's order exactly:
+    # distances are c2 - 2.0*(left-fold dot, dim ascending) — the same
+    # IEEE-double sequence as assign_cells_vectorized's dim-major numpy
+    # accumulation — and the per-(cell,dim) mean is a left-fold sum in
+    # ascending-vid order divided by the member count, matching
+    # similarity.ivf_train_step's sort_array+aggregate fold. Serving reuses
+    # the ann_ivf_topk machinery over the trained centroids.
+    def _sqfold(v: str) -> str:
+        return (f"list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+                "(a, b) -> a + b)")
+
+    _train_ctes = [f"""seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {similarity.IVF_CENTROIDS})
+),
+tcents0 AS (SELECT c, cv, {_sqfold('cv')} AS c2 FROM seed)"""]
+    for _i in range(5):
+        _train_ctes.append(f"""tdists{_i} AS (
+  SELECT e.vec_id AS vid, e.embedding AS vec, cc.c AS c,
+         cc.c2 - 2.0 * list_reduce(list_prepend(0.0, list_transform(range(64),
+             j -> e.embedding[j+1]::DOUBLE * cc.cv[j+1])), (x, y) -> x + y) AS dist
+  FROM embeddings e, tcents{_i} cc
+),
+tasg{_i} AS (
+  SELECT vid, vec, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS rk
+    FROM tdists{_i}
+  ) WHERE rk = 1
+),
+tmeans{_i} AS (
+  SELECT cell, j AS dim,
+         list_reduce(list_prepend(0.0, list(x ORDER BY vid)), (a, b) -> a + b)
+           / count(*) AS m
+  FROM (SELECT a.cell, a.vid, t.j, a.vec[t.j + 1]::DOUBLE AS x
+        FROM tasg{_i} a CROSS JOIN unnest(range(64)) AS t(j)) mm
+  GROUP BY cell, j
+),
+tnew{_i} AS (SELECT cell AS c, list(m ORDER BY dim) AS cv FROM tmeans{_i} GROUP BY cell),
+tcents{_i + 1} AS (
+  SELECT p.c, coalesce(n.cv, p.cv) AS cv, {_sqfold('coalesce(n.cv, p.cv)')} AS c2
+  FROM tcents{_i} p LEFT JOIN tnew{_i} n ON n.c = p.c
+)""")
+    sql["ann_ivf_trained"] = f"""WITH {', '.join(_train_ctes)},
+tdists AS (
+  SELECT e.vec_id AS vid, e.embedding AS vec, c2.c AS c,
+         c2.c2 - 2.0 * {_ivf_dot.format(v='e.embedding')} AS dist
+  FROM embeddings e, tcents5 c2
+),
+tassigned AS (
+  SELECT vid, vec, c AS cell,
+         row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS rk
+  FROM tdists
+),
+tbase AS (SELECT vid, vec, cell FROM tassigned WHERE rk = 1),
+tprobes AS (
+  SELECT vid AS query_id, vec AS qv, c AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS prk
+        FROM tdists WHERE vid < 20)
+  WHERE prk <= {similarity.IVF_PROBE}
+),
+tscored AS (
+  SELECT p.query_id, b.vid AS cand_id,
+         {_dotp('p.qv', 'b.vec')} / (sqrt({_dotp('p.qv', 'p.qv')}) * sqrt({_dotp('b.vec', 'b.vec')})) AS cosine
+  FROM tbase b JOIN tprobes p ON b.cell = p.cell
+  WHERE b.vid != p.query_id
+),
+tranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM tscored
+)
+SELECT query_id, cand_id, cosine, rank FROM tranked WHERE rank <= 5
 """
 
     sql["sessionize"] = f"""

@@ -626,17 +626,38 @@ def ivf_train_step(
     one groupBy; no vectors ever reach the driver, only the k x dim means).
 
     Returns the updated centroid list (empty cells keep their previous
-    centroid, the standard k-means convention). Training is float-order
-    dependent (avg of floats), so trained IVF is pytest-verified by inertia
-    descent rather than by the bit-exact oracle, which pins the untrained
-    hash-centroid variant."""
+    centroid, the standard k-means convention). The per-(cell, dim) mean is
+    a DETERMINISTIC left-fold sum in ascending-id order divided by the
+    member count — not ``F.avg``, whose partial-aggregate order varies with
+    partitioning, making trained centroids differ in the last ulp between
+    runs. The fold makes training bit-reproducible AND bit-checkable against
+    an external SQL twin (the driver oracle unrolls these exact folds in
+    DuckDB: ``list_reduce(list_prepend(0.0, list(x ORDER BY vid)), +)``).
+    Cost: the fold materializes each cell's member values as one sorted
+    array per (cell, dim) group — bounded by training-sample occupancy; at
+    10^12 rows you train on a sample anyway (see ``ivf_train``), where this
+    is noise next to the assignment pass."""
     assigned = assign_cells_vectorized(
         embeddings, n_centroids=len(centroids), dim=dim,
         id_col=id_col, vec_col=vec_col, centroids=centroids,
-    ).select("cell", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    ).select(
+        F.col(id_col).alias("vid"), "cell",
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
     means = (
         assigned.groupBy("cell", "dim")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vid"), F.col("x").cast("double").alias("x")))
+            ).alias("xs")
+        )
+        .select(
+            "cell", "dim",
+            (
+                F.aggregate(F.col("xs"), F.lit(0.0), lambda a, s: a + s["x"])
+                / F.size(F.col("xs"))
+            ).alias("m"),
+        )
         .collect()  # k*dim tiny rows
     )
     out = [list(cv) for cv in centroids]

@@ -131,7 +131,12 @@ def srp_buckets_exist(base_dir: str) -> bool:
     return os.path.exists(os.path.join(base_dir, _SRP_DIR, "_SUCCESS"))
 
 
-_IVF_FILE = "ivf_centroids.json"
+#: versioned filename: the suffix is the TRAINING-METHOD version, bumped
+#: whenever ivf_train's float semantics change (v2 = deterministic
+#: left-fold Lloyd means) — a persisted quantizer trained by an older
+#: method must not be served where the caller expects the new one's
+#: bit-exact output.
+_IVF_FILE = "ivf_centroids_v2.json"
 
 
 def write_ivf_centroids(centroids: list, base_dir: str) -> str:
