@@ -280,12 +280,16 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     base = _state_dir(sf_dir)
+    # committed = 2/3 of the corpus, batch = 1/3: the batch is genuinely the
+    # small side, matching incremental_near_dup's broadcast-the-batch plan
+    # (the previous demo inverted the proportions, broadcasting 2/3 of the
+    # corpus — exactly the footgun the broadcast_batch parameter guards)
     if not state.signature_table_exists(base):
         state.write_signature_table(
-            docs.where(F.col("doc_id") % INCR_COMMITTED_MOD == 0), base
+            docs.where(F.col("doc_id") % INCR_COMMITTED_MOD != 0), base
         )
     committed = state.read_signature_table(spark, base)
-    new = docs.where(F.col("doc_id") % INCR_COMMITTED_MOD != 0)
+    new = docs.where(F.col("doc_id") % INCR_COMMITTED_MOD == 0)
     return dedup.incremental_near_dup(new, committed, est_threshold=INCR_THRESHOLD)
 
 
@@ -351,6 +355,35 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k (the 10^12-vector plan shape)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.srp_lsh_topk(emb)
+
+
+#: incremental-ANN batch selector: vec_id % MOD == 0 below MAX arrive as
+#: the new batch (20 query vectors at every sf); the other 3/4 of the
+#: corpus is the committed side whose buckets are persisted
+INCR_ANN_MOD = 4
+INCR_ANN_MAX = 80
+
+
+def _q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch ANN serving (the ANN analog of incremental_dedup): the
+    committed corpus's SRP buckets are PERSISTED once (parquet partitioned
+    by (band, bucket_prefix) — state.write_srp_buckets) and the new batch
+    probes them multi-probe, with the broadcast batch's key set pruning
+    committed partitions via DPP; exact cosine re-rank fetches committed
+    vectors for the deduped candidate set only. The committed corpus is
+    never re-hashed."""
+    from text_extraction_system_spark.operators import state
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    committed = emb.where(F.col("vec_id") % INCR_ANN_MOD != 0)
+    base = _state_dir(sf_dir)
+    if not state.srp_buckets_exist(base):
+        state.write_srp_buckets(committed, base)
+    buckets = state.read_srp_buckets(spark, base)
+    batch = emb.where(
+        (F.col("vec_id") % INCR_ANN_MOD == 0) & (F.col("vec_id") < INCR_ANN_MAX)
+    )
+    return similarity.incremental_ann_topk(batch, buckets, committed)
 
 
 def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coords_text": _q_coords_text,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "incremental_ann": _q_incremental_ann,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "curation_funnel": _q_curation_funnel,
@@ -1270,12 +1304,12 @@ bands AS (
 old_k AS (
   SELECT * FROM (
     SELECT *, count(*) OVER (PARTITION BY b, band_sig) AS bn
-    FROM bands WHERE raw_id % {INCR_COMMITTED_MOD} = 0) WHERE bn <= {dedup.MAX_BUCKET}
+    FROM bands WHERE raw_id % {INCR_COMMITTED_MOD} != 0) WHERE bn <= {dedup.MAX_BUCKET}
 ),
 new_k AS (
   SELECT * FROM (
     SELECT *, count(*) OVER (PARTITION BY b, band_sig) AS bn
-    FROM bands WHERE raw_id % {INCR_COMMITTED_MOD} != 0) WHERE bn <= {dedup.MAX_BUCKET}
+    FROM bands WHERE raw_id % {INCR_COMMITTED_MOD} = 0) WHERE bn <= {dedup.MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of,
@@ -1450,6 +1484,48 @@ pairs AS (
   SELECT DISTINCT q.query_id, q.qv, c.cand_id, c.cv
   FROM c JOIN q ON c.band = q.band AND c.bucket = q.bucket
   WHERE c.cand_id != q.query_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+         {_dotp('qv', 'cv')} / (sqrt({_dotp('qv', 'qv')}) * sqrt({_dotp('cv', 'cv')})) AS cosine
+  FROM pairs
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # incremental-ANN twin: committed side (vec_id % MOD != 0) builds its
+    # bucket table WITH the MAX_BUCKET guard (matching what
+    # state.write_srp_buckets persisted); the query batch (vec_id % MOD = 0,
+    # < MAX) expands multi-probe keys with NO intra-batch guard, mirroring
+    # incremental_ann_topk's max_bucket=0 batch side.
+    sql["incremental_ann"] = f"""
+WITH bbc AS (
+  SELECT vec_id AS vid, embedding AS vec, tt.b AS band,
+         {_band_bucket.format(v='embedding')} AS bucket
+  FROM embeddings, unnest(range({_nbands})) AS tt(b)
+  WHERE vec_id % {INCR_ANN_MOD} != 0
+),
+countedc AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bucket_n FROM bbc
+),
+keptc AS (SELECT * FROM countedc WHERE bucket_n <= {similarity.MAX_BUCKET}),
+q AS (
+  SELECT vid AS query_id, vec AS qv, band, {_probe_bucket} AS bucket
+  FROM (
+    SELECT vec_id AS vid, embedding AS vec, tt.b AS band,
+           {_band_bucket.format(v='embedding')} AS bucket
+    FROM embeddings, unnest(range({_nbands})) AS tt(b)
+    WHERE vec_id % {INCR_ANN_MOD} = 0 AND vec_id < {INCR_ANN_MAX}
+  ) CROSS JOIN unnest({_masks_sql}::INT[][]) AS mm(mask)
+),
+pairs AS (
+  SELECT DISTINCT q.query_id, q.qv, c.vid AS cand_id, c.vec AS cv
+  FROM keptc c JOIN q ON c.band = q.band AND c.bucket = q.bucket
+  WHERE c.vid != q.query_id
 ),
 scored AS (
   SELECT query_id, cand_id,

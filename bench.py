@@ -63,6 +63,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_trained",
+    "incremental_ann",
     "sessionize",
     "tumbling",
     "pricing_summary",

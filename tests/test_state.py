@@ -122,3 +122,29 @@ def test_srp_buckets_persisted_match_and_prune(spark, tmp_path):
     plan = _plan(t.where((F.col("band") == 1) & (F.col("bucket_prefix") == "0101")))
     m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
     assert m and "band" in m.group(0) and "bucket_prefix" in m.group(0)
+
+
+def test_incremental_ann_from_persisted_buckets(spark, tmp_path):
+    """incremental_ann_topk served from the persisted SRP bucket table: the
+    join plan carries a dynamic-partition-pruning expression (the broadcast
+    batch's (band, bucket_prefix) keys prune committed partitions before any
+    bucket file is read), and results are identical to the in-memory twin
+    that joins on (band, bucket) without partition columns."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    committed = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 80))
+
+    state.write_srp_buckets(committed, str(tmp_path))
+    persisted = similarity.incremental_ann_topk(
+        batch, state.read_srp_buckets(spark, str(tmp_path)), committed
+    )
+    assert "dynamicpruning" in _plan(persisted).lower()
+
+    mem = similarity.incremental_ann_topk(
+        batch, similarity.srp_banded_buckets(committed), committed
+    )
+    got = {(r["query_id"], r["cand_id"], r["rank"], f"{r['cosine']:.9g}")
+           for r in persisted.collect()}
+    want = {(r["query_id"], r["cand_id"], r["rank"], f"{r['cosine']:.9g}")
+            for r in mem.collect()}
+    assert got == want and got

@@ -368,6 +368,7 @@ def incremental_near_dup(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     est_threshold: float = 0.5,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Cross-batch near-dup: which NEW docs duplicate an already-committed
     doc. The production shape of dedup at scale — a batch is signed (narrow,
@@ -406,14 +407,19 @@ def incremental_near_dup(
         F.col("sig").alias("sig_old"),
         *keys,
     )
-    # the batch is by definition the small side (a day's arrivals vs the
-    # whole committed corpus): broadcast it so the committed table is never
-    # shuffled, and — against the persisted table — so dynamic partition
-    # pruning can drop committed partitions outside the batch's
-    # (band, sig_prefix) key set before any signature file is read
-    # (spark's DPP is broadcast-reuse-only by default)
+    # in the production shape the batch is the small side (a day's arrivals
+    # vs the whole committed corpus): broadcasting it means the committed
+    # table is never shuffled, and — against the persisted table — dynamic
+    # partition pruning drops committed partitions outside the batch's
+    # (band, sig_prefix) key set before any signature file is read (spark's
+    # DPP is broadcast-reuse-only by default). The hint bypasses
+    # autoBroadcastJoinThreshold, so it is caller-controlled: pass
+    # broadcast_batch=False for a bulk-reprocess batch that rivals the
+    # committed corpus — the join then shuffles both sides instead of
+    # collecting an unbounded batch to the driver
+    bside = F.broadcast(batch) if broadcast_batch else batch
     cand = (
-        F.broadcast(batch).join(old, keys)
+        bside.join(old, keys)
         .select("new_id", "dup_of", "sig_new", "sig_old")
         .groupBy("new_id", "dup_of")
         .agg(F.first("sig_new").alias("sig_new"), F.first("sig_old").alias("sig_old"))

@@ -219,9 +219,13 @@ def srp_banded_buckets(
     keep_vec: bool = False,
     vectorized: bool = True,
     materialize: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(vid, band, bucket[, vec]) rows, degenerate buckets dropped
-    (MAX_BUCKET).
+    (``max_bucket``, default MAX_BUCKET; pass ``max_bucket=0`` to skip the
+    guard AND its count-window shuffle — right for a QUERY batch, whose
+    intra-batch bucket sizes say nothing about committed-side candidate
+    volume).
 
     The bucket signature is a narrow per-row expression; at 10^12 rows this
     is the table you would materialize once and bucket-partition by
@@ -253,9 +257,14 @@ def srp_banded_buckets(
         ).withColumns(
             {"band": F.col("bb.band"), "bucket": F.col("bb.bucket")}
         ).drop("bb")
-    counted = exploded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    )
+    limit = MAX_BUCKET if max_bucket is None else max_bucket
+    if limit:
+        counted = exploded.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        )
+        kept = counted.where(F.col("bucket_n") <= limit).drop("bucket_n")
+    else:
+        kept = exploded
     # consumers self-join this table: materialize lazily (first action) so
     # the signature + window plan runs once, not once per join branch —
     # same shape as dedup.lsh_candidate_pairs. localCheckpoint blocks are
@@ -263,7 +272,6 @@ def srp_banded_buckets(
     # loss on a cluster is unrecoverable — at cluster scale write the bucket
     # table out partitioned by (band, bucket) instead (durable, co-located
     # join); see dedup.lsh_candidate_pairs for the full trade-off note.
-    kept = counted.where(F.col("bucket_n") <= MAX_BUCKET).drop("bucket_n")
     return kept.localCheckpoint(eager=False) if materialize else kept
 
 
@@ -408,6 +416,88 @@ def srp_lsh_topk(
         .select("query_id", "cand_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
         .groupBy("query_id", "cand_id")
         .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def incremental_ann_topk(
+    new_vecs: DataFrame,
+    committed_buckets: DataFrame,
+    committed_vecs: DataFrame,
+    k: int = 5,
+    n_bands: int = N_BANDS,
+    planes_per_band: int = PLANES_PER_BAND,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = MULTIPROBE_RADIUS,
+    probe_budget: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Serve ANN queries for a NEW batch of vectors against the COMMITTED
+    corpus's PERSISTED SRP bucket table — the ANN analog of
+    ``dedup.incremental_near_dup``: at 10^12 vectors the committed corpus's
+    buckets are written once (``state.write_srp_buckets``, partitioned by
+    (band, bucket_prefix)) and every arriving batch probes them; the
+    committed vectors are never re-hashed.
+
+    The batch side computes its own band buckets (one narrow Arrow pass —
+    NO intra-batch skew window: the committed table already dropped its
+    degenerate buckets at write time, which is the guard that bounds
+    candidate volume) and expands them to ``multiprobe``/``probe_budget``
+    keys per band (nearest-first order, see ``_probe_masks``). When the
+    committed table carries the ``bucket_prefix`` partition column, probes
+    also key on it, so the (broadcast) batch's key set drives dynamic
+    partition pruning — a small batch touches only the committed partitions
+    holding its probed buckets (plan-asserted by tests/test_plans.py).
+
+    Candidate (query, cand) pairs are deduped across bands/probes BEFORE
+    vectors are fetched, then exact cosine is computed from one hash join
+    against ``committed_vecs`` (broadcast candidate side: bounded by
+    queries x probes x bucket width). Returns (query_id, cand_id, cosine,
+    rank<=k). ``broadcast_batch=False`` drops the broadcast hints (and with
+    them DPP) for the rare bulk-reprocess case where the batch rivals the
+    committed corpus."""
+    batch = srp_banded_buckets(
+        new_vecs, n_bands, planes_per_band, dim, id_col, vec_col,
+        keep_vec=True, materialize=False, max_bucket=0,
+    )
+    masks = _probe_masks(planes_per_band, multiprobe, probe_budget)
+    qs = batch.select(
+        F.col("vid").alias("query_id"),
+        "band",
+        F.explode(
+            F.array(
+                *[_flip_bits_col(F.col("bucket"), m, planes_per_band) for m in masks]
+            )
+        ).alias("bucket"),
+        F.col("vec").alias("qv"),
+    )
+    keys = ["band", "bucket"]
+    if "bucket_prefix" in committed_buckets.columns:
+        from . import state
+
+        qs = qs.withColumn("bucket_prefix", state.bucket_prefix_col(F.col("bucket")))
+        keys = ["band", "bucket_prefix", "bucket"]
+    old = committed_buckets.select(F.col("vid").alias("cand_id"), *keys)
+    qside = F.broadcast(qs) if broadcast_batch else qs
+    cands = (
+        qside.join(old, keys)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.first("qv").alias("qv"))
+    )
+    vecs = committed_vecs.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    cside = F.broadcast(cands) if broadcast_batch else cands
+    scored = cside.join(vecs, "cand_id").select(
+        "query_id", "cand_id", cosine_col(F.col("qv"), F.col("cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
