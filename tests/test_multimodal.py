@@ -181,3 +181,61 @@ def test_detected_rotation_rows_match_stub_column(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_dilated_rows_estimator_recovers_skew():
+    """A6 (reference ocr/rotation_detection.py:38-89): the pure-numpy
+    dilated-rows kernel — blur -> Otsu -> rect dilation -> per-component
+    min-area rect (hull + rotating calipers) -> area-weighted 10%-trimmed
+    mean — recovers synthetic page skews exactly in the fine-deskew regime
+    it exists for, reports an occupied-area share, returns None on inkless
+    pages, and routes through detect_rotation's never-raise fence."""
+    import numpy as np
+
+    from text_extraction_system_spark.operators import rotation
+
+    def page(theta_deg, h=600, w=480, spacing=40, thick=6):
+        arr = np.full((h, w), 255.0)
+        slope = -np.tan(np.radians(theta_deg))
+        xs = np.arange(w)
+        for y0 in range(60, h - int(abs(slope) * w) - 10, spacing):
+            for t in range(thick):
+                ys = np.clip(np.round(y0 + t + slope * xs).astype(int), 0, h - 1)
+                arr[ys, xs] = 0.0
+        return arr
+
+    for theta in (0.0, 1.5, -3.2):
+        st = rotation.dilated_rows_status(page(theta))
+        assert st is not None
+        angle, share = st
+        assert abs(angle - theta) <= 0.11, (theta, st)
+        assert 0.0 < share <= 100.0 + 1e-9
+
+    assert rotation.dilated_rows_status(np.full((64, 64), 255.0)) is None
+
+    class FakeImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr if dtype is None else self.arr.astype(dtype)
+
+    class FakeMod:
+        @staticmethod
+        def open(fp):
+            return FakeImg(page(1.5))
+
+    got = rotation.detect_rotation("r", b"x", FakeMod, method="dilated_rows")
+    assert abs(got - 1.5) <= 0.11
+
+    class ExplodingMod:
+        @staticmethod
+        def open(fp):
+            raise RuntimeError("poison")
+
+    assert rotation.detect_rotation(
+        "ry", b"x", ExplodingMod, method="dilated_rows"
+    ) == rotation.stub_raw_angle("ry")

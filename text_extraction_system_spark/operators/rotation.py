@@ -127,12 +127,227 @@ def _most_frequent_tile_angle(gray, part_size: int = TILE_PART_SIZE) -> float | 
     return float(statistics.median(angles))
 
 
+#: dilated-rows parameters (reference ocr/rotation_detection.py:17-21):
+#: 11x11 Gaussian blur, 30x5 rect dilation kernel applied 5 times
+DILATE_BLUR_KSIZE = 11
+DILATE_KERNEL = (30, 5)
+DILATE_ITERS = 5
+
+
+def _gaussian_blur(gray, ksize: int = DILATE_BLUR_KSIZE):
+    """Separable Gaussian blur; sigma follows cv2's sigma=0 convention
+    (0.3*((ksize-1)*0.5 - 1) + 0.8)."""
+    import numpy as np
+
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    r = ksize // 2
+    k = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+    k /= k.sum()
+    pad = np.pad(gray, ((0, 0), (r, r)), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(pad, ksize, axis=1)
+    out = win @ k
+    pad = np.pad(out, ((r, r), (0, 0)), mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(pad, ksize, axis=0)
+    return win @ k
+
+
+def _otsu_ink(gray):
+    """Boolean ink mask via Otsu's threshold on a 256-bin histogram —
+    the cv2.THRESH_BINARY_INV + THRESH_OTSU analog (dark pixels = ink)."""
+    import numpy as np
+
+    g = np.clip(gray, 0, 255).astype(np.uint8)
+    hist = np.bincount(g.ravel(), minlength=256).astype(np.float64)
+    n = hist.sum()
+    if n == 0:
+        return np.zeros_like(g, dtype=bool)
+    w0 = np.cumsum(hist)
+    m = np.cumsum(hist * np.arange(256))
+    w1 = n - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = m / w0
+        mu1 = (m[-1] - m) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between = np.where(np.isfinite(between), between, -1.0)
+    t = int(np.argmax(between))  # constant image -> t=0 -> white page has no ink
+    return g <= t
+
+
+def _dilate_rect(mask, kernel=DILATE_KERNEL, iters: int = DILATE_ITERS):
+    """Binary dilation by a rect kernel applied ``iters`` times, computed in
+    one shot as a centered box-OR with the composed window size
+    ((k-1)*iters + 1 per axis, odd-centered) via an integral image —
+    O(pixels) independent of kernel size. The wide-X kernel merges glyphs
+    into line bars; the short-Y keeps separate text lines apart."""
+    import numpy as np
+
+    kx, ky = kernel
+    wx = (kx - 1) * iters + 1
+    wy = (ky - 1) * iters + 1
+    rx, ry = wx // 2, wy // 2
+    h, w = mask.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(mask, axis=0), axis=1, out=ii[1:, 1:])
+    y0 = np.clip(np.arange(h) - ry, 0, h)
+    y1 = np.clip(np.arange(h) + ry + 1, 0, h)
+    x0 = np.clip(np.arange(w) - rx, 0, w)
+    x1 = np.clip(np.arange(w) + rx + 1, 0, w)
+    s = (ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0])
+    return s > 0
+
+
+def _rle_components(mask):
+    """8-connected components over row runs (classic RLE labeling): returns
+    (run_y, run_s, run_e_exclusive, run_component_id). Python work is
+    O(rows + runs) with vectorized per-row overlap ranges — dilation leaves
+    few, long runs, so this stays cheap without cv2/scipy."""
+    import numpy as np
+
+    h, _w = mask.shape
+    padded = np.pad(mask, ((0, 0), (1, 1)))
+    d = np.diff(padded.astype(np.int8), axis=1)
+    ys, starts = np.where(d == 1)
+    _ys2, ends = np.where(d == -1)
+    n = len(ys)
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    row_ofs = np.searchsorted(ys, np.arange(h + 1))
+    for y in range(1, h):
+        a0, a1 = row_ofs[y - 1], row_ofs[y]
+        b0, b1 = row_ofs[y], row_ofs[y + 1]
+        if a0 == a1 or b0 == b1:
+            continue
+        # run [s,e) in row y-1 touches [bs,be) in row y (8-conn) iff
+        # s <= be and bs <= e; runs per row are sorted and disjoint
+        lo = np.searchsorted(ends[a0:a1], starts[b0:b1], side="left")
+        hi = np.searchsorted(starts[a0:a1], ends[b0:b1], side="right")
+        for bi, (l, r) in enumerate(zip(lo, hi)):
+            rb = find(b0 + bi)
+            for ai in range(a0 + l, a0 + r):
+                ra = find(ai)
+                if ra != rb:
+                    parent[ra] = rb
+                    rb = rb if find(rb) == rb else find(rb)
+    roots = np.array([find(i) for i in range(n)])
+    _, comp = np.unique(roots, return_inverse=True)
+    return ys.astype(np.float64), starts.astype(np.float64), ends.astype(np.float64), comp
+
+
+def _convex_hull(pts):
+    """Andrew monotone chain; pts (n, 2) float. Returns hull vertices in
+    counter-clockwise order (in a y-down frame), without the closing point."""
+    import numpy as np
+
+    pts = np.unique(pts, axis=0)  # lexsorted by (x, y)
+    if len(pts) <= 2:
+        return pts
+
+    def half(seq):
+        out: list = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _min_area_rect(pts):
+    """Rotating calipers over the convex hull: (angle_of_best_edge_deg,
+    rect_area) of the minimum-area enclosing rectangle — the cv2
+    minAreaRect analog (one side of the min rect is collinear with a hull
+    edge). Degenerate hulls (point / segment) get angle from the segment
+    and area from its pixel extent."""
+    import numpy as np
+
+    hull = _convex_hull(pts)
+    if len(hull) == 1:
+        return 0.0, 1.0
+    edges = np.roll(hull, -1, axis=0) - hull
+    lens = np.hypot(edges[:, 0], edges[:, 1])
+    keep = lens > 0
+    if not keep.any():
+        return 0.0, 1.0
+    u = edges[keep] / lens[keep, None]          # (m, 2) edge directions
+    v = np.stack([-u[:, 1], u[:, 0]], axis=1)   # perpendiculars
+    pu = hull @ u.T                              # (n, m) projections
+    pv = hull @ v.T
+    w1 = pu.max(axis=0) - pu.min(axis=0) + 1.0   # +1: pixel extent
+    w2 = pv.max(axis=0) - pv.min(axis=0) + 1.0
+    areas = w1 * w2
+    i = int(np.argmin(areas))
+    dx, dy = u[i]
+    return float(np.degrees(np.arctan2(dy, dx))), float(areas[i])
+
+
+def dilated_rows_status(gray, kernel=DILATE_KERNEL, iters: int = DILATE_ITERS,
+                        blur_ksize: int = DILATE_BLUR_KSIZE):
+    """A6 — the reference's dilated-rows estimator
+    (``ocr/rotation_detection.py:38-89`` detect_rotation_dilated_rows) in
+    pure numpy: blur -> Otsu ink -> wide-X dilation merges each text line
+    (or skew-aligned paragraph block) into a bar -> per-component
+    minimum-area rectangle via convex hull + rotating calipers (a merged
+    block of parallel skewed lines still yields the skew angle, which plain
+    PCA would not) -> area-weighted 10%-trimmed mean angle
+    (core.angles.weighted_trimmed_mean IS the reference's
+    WeightedAverage.get_weighted_avg). Returns (angle_degrees,
+    occupied_area_percent) or None when the page has no ink — matching
+    PageRotationStatus's two fields."""
+    import math
+
+    import numpy as np
+
+    gray = np.asarray(gray, dtype=np.float64)
+    if gray.ndim != 2 or gray.size == 0:
+        return None
+    ink = _otsu_ink(_gaussian_blur(gray, blur_ksize))
+    if not ink.any():
+        return None
+    bars = _dilate_rect(ink, kernel, iters)
+    ys, ss, es, comp = _rle_components(bars)
+    ncomp = int(comp.max()) + 1
+    angles, areas = [], []
+    for i in range(ncomp):
+        sel = comp == i
+        # candidate hull points are run endpoints (interior run pixels are
+        # never hull vertices)
+        px = np.concatenate([ss[sel], es[sel] - 1.0])
+        py = np.concatenate([ys[sel], ys[sel]])
+        a, area = _min_area_rect(np.stack([px, py], axis=1))
+        # rect-edge direction -> skew angle (y grows downward), folded into
+        # [-45, 45) like the reference's minAreaRect angle<-45 -> +90
+        a = -a
+        while a > 45.0:
+            a -= 90.0
+        while a <= -45.0:
+            a += 90.0
+        angles.append(a)
+        areas.append(area)
+    from ..core import angles as core_angles
+
+    w_angle = core_angles.weighted_trimmed_mean(angles, areas, 0.1)
+    w_angle = math.floor(w_angle * 10.0 + 0.5) / 10.0  # half-up, 1 decimal
+    share = math.floor(100.0 * sum(areas) / gray.size * 100.0 + 0.5) / 100.0
+    return w_angle, share
+
+
 def detect_rotation(media_ref: str, payload: bytes, image_mod=None,
-                    part_size: int = TILE_PART_SIZE) -> float:
+                    part_size: int = TILE_PART_SIZE, method: str = "tile") -> float:
     """A5/A6 raw-angle estimate with the same never-raise fence as
     ``multimodal._resize_payload``: with a PIL-like ``image_mod``, a
-    decodable payload is decoded to grayscale and run through the tile-mode
-    estimator; undecodable payloads (this container's synthetic md5
+    decodable payload is decoded to grayscale and run through the chosen
+    estimator — ``method="tile"`` (A5, per-tile projection-profile voting)
+    or ``method="dilated_rows"`` (A6, the reference's dilated-contour
+    weighted mean); undecodable payloads (this container's synthetic md5
     payloads) and the no-PIL case fall back to the deterministic stub —
     PIL's presence never turns a working query into a failing one, and a
     poison payload degrades instead of killing the job."""
@@ -143,9 +358,15 @@ def detect_rotation(media_ref: str, payload: bytes, image_mod=None,
             import numpy as np
 
             img = image_mod.open(io.BytesIO(payload)).convert("L")
-            a = _most_frequent_tile_angle(np.asarray(img), part_size)
-            if a is not None:
-                return a
+            arr = np.asarray(img)
+            if method == "dilated_rows":
+                st = dilated_rows_status(arr)
+                if st is not None:
+                    return st[0]
+            else:
+                a = _most_frequent_tile_angle(arr, part_size)
+                if a is not None:
+                    return a
         except Exception:
             pass  # not a decodable image -> deterministic stub
     return stub_raw_angle(media_ref)
