@@ -163,3 +163,44 @@ def test_accounting_on_fresh_base_dir(spark, tmp_path):
     fresh = str(tmp_path / "never_written")
     assert lineage.committed_metrics(spark, fresh).count() == 0
     assert lineage.orphan_metric_runs(spark, fresh).count() == 0
+
+
+def test_results_commit_is_atomic_per_run(spark, base_dir):
+    """The partial-append double-count window is closed: a run's results
+    land via one rename of results/run_id=<id>/, so a crashed run leaves
+    only a staging dir — invisible to resume AND to accounting — which the
+    next run clears. Totals stay exact across the crash + resume."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    full = synth.corpus_df(spark)
+    n_total = full.count()
+    half = full.limit(n_total // 2)
+    lineage.run_extraction(spark, half, base_dir, run_id="run_a")
+
+    # forge a crash BEFORE the rename: metrics committed, staging dir still
+    # present, nothing in results/, no marker
+    orphan = (
+        spark.read.parquet(f"{base_dir}/metrics")
+        .withColumn("run_id", F.lit("run_crashed"))
+    )
+    orphan.write.mode("append").parquet(f"{base_dir}/metrics")
+    stale = os.path.join(base_dir, "results.staging_run_crashed")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    # the run_id partition column round-trips through the directory name
+    res = spark.read.parquet(f"{base_dir}/results")
+    assert {r["run_id"] for r in res.select("run_id").distinct().collect()} == {"run_a"}
+
+    r2 = lineage.run_extraction(spark, full, base_dir, run_id="run_b")
+    assert not os.path.exists(stale)  # stranded staging cleared
+    assert r2["docs_processed"] == n_total - n_total // 2
+
+    good = lineage.committed_metrics(spark, base_dir)
+    assert good.agg(F.sum("doc_count")).collect()[0][0] == n_total
+    res = spark.read.parquet(f"{base_dir}/results")
+    assert res.count() == n_total
+    assert res.select("doc_id").distinct().count() == n_total

@@ -9,14 +9,16 @@ Spark rebuild replaces all of it with:
 * **across jobs**   — resume = LEFT ANTI join of the input against the
   committed results' doc_ids, then append-only commit of the new slice. On
   Iceberg this is ``MERGE INTO results ON doc_id`` with snapshot isolation;
-  the local-parquet twin appends a new file per run, which is atomic at the
-  directory level for this sandbox.
+  the local-parquet twin stages each run's rows and renames them into
+  ``results/run_id=<id>/`` in ONE os.rename — per-run visibility is
+  all-or-nothing, the local analog of an atomic snapshot commit.
 * **lineage**       — one metrics row per output partition: run id, input
   snapshot id, partition id, doc/span/byte counts, parse-failure codes.
 
 Output layout under ``base_dir``:
   results/   one row per doc: doc_id, needs_ocr, out_spans, plain_text,
-             pages, parse_failures, run_id
+             pages, parse_failures; PARTITIONED by run_id (the directory
+             name carries the column), committed atomically per run
   metrics/   LINEAGE rows (schemas.LINEAGE + finished_at)
   commits/   one completion-marker row per run_id that fully committed.
              A run counts as committed when its marker exists OR its rows
@@ -115,7 +117,7 @@ def upsert_results(
         )
 
     if existing is None:
-        new_results.write.mode("overwrite").parquet(results_path)
+        new_results.write.mode("overwrite").partitionBy("run_id").parquet(results_path)
         return {"inserted": n_batch, "updated": 0}
 
     keys = new_results.select("doc_id")
@@ -125,7 +127,9 @@ def upsert_results(
         new_results.select(existing.columns)
     )
     staging = results_path + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
+    # keep the run_id=<id>/ partition layout run_extraction commits with —
+    # results/ must stay one consistent partitioned table across both paths
+    merged.write.mode("overwrite").partitionBy("run_id").parquet(staging)
     n_merged = spark.read.parquet(staging).count()
 
     import shutil
@@ -158,6 +162,14 @@ def run_extraction(
     """
     run_id = run_id or f"run_{int(time.time() * 1000):x}"
     snap = snapshot_id(spans_df)
+
+    # clear scratch dirs stranded by crashed runs: a staging dir that still
+    # exists was by definition never renamed into results/ (uncommitted)
+    import glob as _glob
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(base_dir, "results.staging_*")):
+        _shutil.rmtree(stale, ignore_errors=True)
 
     committed = committed_doc_ids(spark, base_dir)
     todo = spans_df
@@ -229,7 +241,21 @@ def run_extraction(
             F.current_timestamp().alias("finished_at"),
         )
         metrics.write.mode("append").parquet(os.path.join(base_dir, "metrics"))
-        stamped.drop("partition_id").write.mode("append").parquet(results_path)
+        # ATOMIC per-run results commit: stage the run's rows in a scratch
+        # dir, then one os.rename into results/run_id=<id>/ — the partition
+        # directory IS the run's run_id column (parquet partition
+        # discovery restores it on read). A plain .mode("append") is a
+        # multi-file job commit: a crash mid-commit leaves a SUBSET of the
+        # run's files visible, making "results/ presence" claim a run that
+        # is only partially there — its full metrics would then be counted
+        # while resume re-reports the missing docs (double-count). The
+        # rename is all-or-nothing, so per-run visibility is too — the
+        # local twin of Iceberg's atomic snapshot commit.
+        staging = os.path.join(base_dir, f"results.staging_{run_id}")
+        stamped.drop("partition_id", "run_id").write.mode("overwrite").parquet(staging)
+        os.makedirs(results_path, exist_ok=True)
+        os.rename(staging, os.path.join(results_path, f"run_id={run_id}"))
+        spark.catalog.refreshByPath(results_path)
         # completion marker LAST: a run_id present in metrics but absent from
         # commits/ is mechanically identifiable as an orphan (crashed between
         # metrics and results) — see committed_metrics(). One tiny row.
@@ -275,10 +301,13 @@ def _committed_run_ids(spark: SparkSession, base_dir: str) -> DataFrame:
     crash in the results->commits window leaves docs committed in results/
     with no marker, and because resume skips those docs no rerun ever
     re-reports their accounting — marker-only detection would undercount
-    them forever. results/ presence is ground truth; the marker is the
-    cheap fast path. The results probe is a single-column (run_id) pruned
-    parquet scan and only runs for accounting queries; on Iceberg the same
-    set comes free from snapshot summary metadata."""
+    them forever. results/ presence is ground truth — and because a run's
+    rows land via one atomic rename of results/run_id=<id>/ (see
+    run_extraction), presence is all-or-nothing per run: no partial-append
+    window where a subset of a run's files is visible. run_id is the
+    table's partition column, so this probe is a directory listing, not a
+    data scan; on Iceberg the same set comes free from snapshot summary
+    metadata."""
     parts = []
     commits_path = os.path.join(base_dir, "commits")
     if os.path.exists(commits_path):
