@@ -210,3 +210,24 @@ def test_language_override(spark):
     assert st["language"] == "de"
     assert all(p["language"] == "de" for p in st["paragraphs"])
     assert all(s["language"] == "de" for s in st["sentences"])
+
+
+def test_cumsum_capacity_guard(spark):
+    """Over-capacity inputs raise instead of silently corrupting prefix
+    sums: the Hillis-Steele unroll covers 2^n_passes elements and not one
+    more (layout._cumsum_col guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException, PythonException
+
+    from text_extraction_system_spark.operators import layout
+
+    def scan(n, passes):
+        arr = F.sequence(F.lit(1), F.lit(n))
+        return spark.range(1).select(
+            layout._cumsum_col(arr, n_passes=passes).alias("s")
+        ).collect()[0]["s"]
+
+    assert scan(8, 3) == [sum(range(1, k + 1)) for k in range(1, 9)]
+    with pytest.raises(Exception, match="capacity exceeded"):
+        scan(9, 3)

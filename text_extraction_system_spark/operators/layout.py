@@ -120,7 +120,13 @@ def _cumsum_col(arr: Column, n_passes: int = _CUMSUM_PASSES) -> Column:
     3^n_passes evaluations), and passes beyond the array length short-
     circuit via the size guard. Replaces an ``aggregate`` fold that
     appended to an immutable accumulator array — O(n^2) element copies,
-    measured at 22 s for one 25k-page giant doc vs 0.3 s for this scan."""
+    measured at 22 s for one 25k-page giant doc vs 0.3 s for this scan.
+
+    Inputs beyond the unroll capacity (2^n_passes elements) raise at
+    runtime instead of silently emitting WRONG partial sums — a doc over
+    ~2M pages (2^15 chunks x _SCAN_CHUNK) must fail loudly, not corrupt
+    its page offsets; raise _CUMSUM_PASSES (cost note above) or
+    _SCAN_CHUNK if such documents become real."""
     from .exprutil import let
 
     def one_pass(prev: Column, d: int) -> Column:
@@ -136,7 +142,16 @@ def _cumsum_col(arr: Column, n_passes: int = _CUMSUM_PASSES) -> Column:
         # the (element, index) transform form — d would become the index
         return lambda prev: one_pass(prev, d)
 
-    expr = F.transform(arr, lambda x: x.cast("bigint"))
+    cap = 1 << n_passes
+    expr = F.when(F.size(arr) <= cap, F.transform(arr, lambda x: x.cast("bigint"))).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("_cumsum_col capacity exceeded: "),
+                F.size(arr).cast("string"),
+                F.lit(f" elements > 2^{n_passes} scan passes"),
+            )
+        )
+    )
     for k in range(n_passes):
         expr = let(expr, pass_fn(1 << k))
     return expr

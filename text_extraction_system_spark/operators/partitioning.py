@@ -48,19 +48,28 @@ def cost_salted_repartition(
 
 def partition_cost_stats(spans_df: DataFrame) -> dict:
     """{'n_partitions', 'max_cost', 'mean_cost', 'balance'} where balance =
-    max/mean (1.0 is perfect)."""
+    max/mean (1.0 is perfect). The per-partition totals are reduced to
+    (count, max, sum) SERVER-side — one scalar row reaches the driver, so
+    calling this against a 100k-partition frame is safe (the previous form
+    collected one row per partition)."""
     per_part = (
         spans_df.select(doc_cost_col(F.col("spans")).alias("cost"))
         .withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
         .agg(F.sum("cost").alias("cost"))
+        .select(F.coalesce(F.col("cost"), F.lit(0)).alias("cost"))
     )
-    rows = per_part.collect()
-    costs = [r["cost"] or 0 for r in rows]
-    mean = sum(costs) / max(len(costs), 1)
+    row = per_part.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("cost").alias("mx"),
+        F.sum("cost").alias("tot"),
+    ).collect()[0]
+    n = row["n"] or 0
+    mx = row["mx"] or 0
+    mean = (row["tot"] or 0) / max(n, 1)
     return {
-        "n_partitions": len(costs),
-        "max_cost": max(costs) if costs else 0,
+        "n_partitions": n,
+        "max_cost": mx,
         "mean_cost": mean,
-        "balance": (max(costs) / mean) if mean else 0.0,
+        "balance": (mx / mean) if mean else 0.0,
     }
