@@ -971,30 +971,67 @@ line_stats AS (
   FROM per_line GROUP BY doc_id
 ),
 tok AS (SELECT doc_id, {_sql_tokens('plain_text')} AS ws FROM plain),
-gr AS (
-  SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS gram
-  FROM tok, unnest(range(len(ws) - 1)) AS t(i) WHERE len(ws) >= 2
+"""
+        + ",\n".join(
+            f"""gr{n} AS (
+  SELECT doc_id, array_to_string(ws[i + 1 : i + {n}], ' ') AS gram
+  FROM tok, unnest(range(len(ws) - {n - 1})) AS t(i) WHERE len(ws) >= {n}
 ),
-per_gram AS (SELECT doc_id, gram, count(*) AS cnt FROM gr GROUP BY doc_id, gram),
-topg AS (
+pg{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM gr{n} GROUP BY doc_id, gram)"""
+            for n in sorted(set(textstats.TOP_NS) | set(textstats.DUP_NS))
+        )
+        + ","
+        + ",\n".join(
+            f"""top{n} AS (
   SELECT doc_id, gram AS top_gram, cnt AS top_cnt FROM (
     SELECT doc_id, gram, cnt,
            row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
-    FROM per_gram) WHERE rn = 1
+    FROM pg{n}) WHERE rn = 1
 ),
-gram_tot AS (
+tot{n} AS (
   SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS gram_chars
-  FROM per_gram GROUP BY doc_id
-)
+  FROM pg{n} GROUP BY doc_id
+)"""
+            for n in textstats.TOP_NS
+        )
+        + ","
+        + ",\n".join(
+            f"""dup{n} AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+           / CAST(sum(cnt * length(gram)) AS BIGINT) AS frac
+  FROM pg{n} GROUP BY doc_id
+)"""
+            for n in textstats.DUP_NS
+        )
+        + f"""
 SELECT l.doc_id, l.n_lines,
        CAST(l.n_lines - l.n_distinct AS DOUBLE) / l.n_lines AS dup_line_frac,
        CAST(l.dup_chars AS DOUBLE) / l.line_chars AS dup_line_char_frac,
        t.top_gram,
-       CAST(t.top_cnt * length(t.top_gram) AS DOUBLE) / g.gram_chars AS top_gram_char_frac
-FROM line_stats l
-JOIN topg t USING (doc_id)
-JOIN gram_tot g USING (doc_id)
+       CAST(t.top_cnt * length(t.top_gram) AS DOUBLE) / g.gram_chars AS top_gram_char_frac,
 """
+        + ",\n".join(
+            f"       CAST(t{n}.top_cnt * length(t{n}.top_gram) AS DOUBLE)"
+            f" / g{n}.gram_chars AS top_{n}gram_char_frac"
+            for n in textstats.TOP_NS[1:]
+        )
+        + ",\n"
+        + ",\n".join(
+            f"       d{n}.frac AS dup_{n}gram_char_frac" for n in textstats.DUP_NS
+        )
+        + """
+FROM line_stats l
+JOIN top2 t USING (doc_id)
+JOIN tot2 g USING (doc_id)
+"""
+        + "\n".join(
+            f"LEFT JOIN top{n} t{n} USING (doc_id)\nLEFT JOIN tot{n} g{n} USING (doc_id)"
+            for n in textstats.TOP_NS[1:]
+        )
+        + "\n"
+        + "\n".join(f"LEFT JOIN dup{n} d{n} USING (doc_id)" for n in textstats.DUP_NS)
+        + "\n"
     )
 
     all_sw = sorted({w for ws in spec.LANG_STOPWORDS.values() for w in ws})

@@ -440,11 +440,62 @@ def test_arrow_repetition_matches_dataframe_form(spark):
     res = pipeline.extract_from_documents(
         spark.read.parquet(f"{SF}/documents.parquet"), with_structure=False
     )
+    frac_cols = (
+        [f"top_{n}gram_char_frac" for n in textstats.TOP_NS[1:]]
+        + [f"dup_{n}gram_char_frac" for n in textstats.DUP_NS]
+    )
+
     def snap(df):
-        return {r["doc_id"]: (r["n_lines"], f"{r['dup_line_frac']:.17g}",
-                              f"{r['dup_line_char_frac']:.17g}", r["top_gram"],
-                              f"{r['top_gram_char_frac']:.17g}")
+        def fmt(v):
+            return None if v is None else f"{v:.17g}"
+
+        return {r["doc_id"]: (r["n_lines"], fmt(r["dup_line_frac"]),
+                              fmt(r["dup_line_char_frac"]), r["top_gram"],
+                              fmt(r["top_gram_char_frac"]),
+                              *[fmt(r[c]) for c in frac_cols])
                 for r in df.collect()}
     a = snap(textstats.repetition_rows_arrow(res))
     b = snap(textstats.repetition_rows(res))
     assert a == b and a
+    # the full Gopher battery is populated: long docs carry every column,
+    # and at least one short doc exercises the NULL (no such n-gram) path
+    assert any(all(x is not None for x in v[5:]) for v in a.values())
+
+
+def test_repetition_chain_path_matches_counter_and_dataframe(spark):
+    """The giant-doc numpy rolling-key path produces the same Gopher
+    fractions as the Counter path and the exploded DataFrame form: one doc
+    above NP_CHAIN_MIN_TOKENS with engineered line and n-gram repeats runs
+    through all three."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import textstats
+
+    words = [f"w{i % 97}" for i in range(5000)] + ["alpha", "beta"] * 40
+    text = "line one\nline one\n" + " ".join(words)
+    big = spark.createDataFrame([("giant", text)], "doc_id string, plain_text string")
+
+    frac_cols = (
+        [f"top_{n}gram_char_frac" for n in textstats.TOP_NS[1:]]
+        + [f"dup_{n}gram_char_frac" for n in textstats.DUP_NS]
+    )
+
+    def snap(df):
+        r = df.collect()[0]
+        return (r["n_lines"], f"{r['dup_line_frac']:.17g}", r["top_gram"],
+                f"{r['top_gram_char_frac']:.17g}",
+                *[f"{r[c]:.17g}" for c in frac_cols])
+
+    arrow = snap(textstats.repetition_rows_arrow(big))       # chain path
+    frame = snap(textstats.repetition_rows(big))             # exploded form
+    assert arrow == frame
+
+    # the Counter path on the same shape of doc, below the switch threshold
+    small_words = words[: 2000]
+    text_small = "line one\nline one\n" + " ".join(small_words + ["alpha", "beta"] * 40)
+    small = spark.createDataFrame(
+        [("small", text_small)], "doc_id string, plain_text string"
+    )
+    assert snap(textstats.repetition_rows_arrow(small)) == snap(
+        textstats.repetition_rows(small)
+    )

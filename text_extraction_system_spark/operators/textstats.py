@@ -164,37 +164,58 @@ def simhash_col(text: Column, bits: int = 32) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
-def bigram_col(text: Column) -> Column:
-    """Adjacent word 2-grams of the normalized token stream."""
+def ngram_col(text: Column, n: int) -> Column:
+    """Adjacent word n-grams (space-joined) of the normalized token stream;
+    empty array below n tokens."""
     from .exprutil import let
 
     def grams(ws: Column) -> Column:
         return F.when(
-            F.size(ws) >= 2,
+            F.size(ws) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(ws) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-                ),
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
 
     return let(tokens_col(text), grams)
 
 
+def bigram_col(text: Column) -> Column:
+    """Adjacent word 2-grams of the normalized token stream."""
+    return ngram_col(text, 2)
+
+
+#: the full Gopher repetition battery (Rae et al. 2021, Table A1): top
+#: n-gram character share for these n ...
+TOP_NS = (2, 3, 4)
+#: ... and duplicate n-gram character share for these n. Char shares count
+#: every occurrence of a gram (sum cnt*len / sum over all occurrences),
+#: the Dolma/RedPajama reimplementation convention — Gopher's
+#: no-double-count character coverage needs positional interval merging,
+#: which buys little discrimination for meaningfully more state.
+DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
 def repetition_rows(assembled, text_col: str = "plain_text"):
     """Gopher-style repetition quality signals over the EXTRACTED text (the
     post-extraction filter every LLM data pipeline runs — Rae et al. 2021
     'repetition' heuristics): fraction of duplicate lines (count and
-    char-weighted) and the character share of the most frequent word
-    2-gram. Line identity uses the engine's own '\\n' paragraph separators;
-    '\\f' page marks are stripped first.
+    char-weighted), the character share of the most frequent word n-gram
+    for n in TOP_NS, and the duplicate-n-gram character share for n in
+    DUP_NS. Line identity uses the engine's own '\\n' paragraph separators
+    ('\\f' page marks stripped first); in this text model lines ARE the
+    paragraphs (single-\\n separators), so Gopher's line/paragraph pairs
+    collapse to one family. Docs too short for a given n carry NULL for
+    that column (they have no n-grams to judge).
 
-    Scale shape: two explode -> two-level hash aggregations (doc_id, key)
-    -> per-doc rollup, plus one per-doc top-1 window over 2-gram counts —
-    no per-doc state wider than its own lines/grams, shuffles keyed by
-    (doc_id, line/gram) hash. Ties on the top 2-gram break to the
-    lexicographically smallest gram (deterministic, SQL-portable)."""
+    Scale shape: explode -> two-level hash aggregations (doc_id, key) ->
+    per-doc rollup per family, plus one per-doc top-1 window per TOP_NS
+    size — no per-doc state wider than its own lines/grams, shuffles keyed
+    by (doc_id, line/gram) hash. Ties on a top gram break to the
+    lexicographically smallest gram (deterministic, SQL-portable). This
+    exploded form is the semantic REFERENCE; the served kernel is the
+    shuffle-free Arrow twin (repetition_rows_arrow), pinned value-identical."""
     from pyspark.sql.window import Window
 
     lines_arr = F.filter(
@@ -211,11 +232,15 @@ def repetition_rows(assembled, text_col: str = "plain_text"):
             F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
         ).cast("bigint").alias("dup_chars"),
     )
-    grams = assembled.select(
-        "doc_id", F.explode(bigram_col(F.col(text_col))).alias("gram")
-    )
-    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram"))
+
+    def per_gram_for(n: int):
+        grams = assembled.select(
+            "doc_id", F.explode(ngram_col(F.col(text_col), n)).alias("gram")
+        )
+        return grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+    per_gram = per_gram_for(2)
     top = (
         per_gram.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -224,7 +249,7 @@ def repetition_rows(assembled, text_col: str = "plain_text"):
     gram_tot = per_gram.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.length("gram")).cast("bigint").alias("gram_chars")
     )
-    return (
+    out = (
         line_stats.join(top, "doc_id").join(gram_tot, "doc_id")
         .select(
             "doc_id",
@@ -237,6 +262,37 @@ def repetition_rows(assembled, text_col: str = "plain_text"):
             .alias("top_gram_char_frac"),
         )
     )
+    for n in TOP_NS[1:]:
+        pg = per_gram_for(n)
+        topn = (
+            pg.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "doc_id", F.col("gram").alias("tg"), F.col("cnt").alias("tc")
+            )
+        )
+        totn = pg.groupBy("doc_id").agg(
+            F.sum(F.col("cnt") * F.length("gram")).cast("bigint").alias("gc")
+        )
+        frac = topn.join(totn, "doc_id").select(
+            "doc_id",
+            (F.col("tc") * F.length("tg") / F.col("gc"))
+            .alias(f"top_{n}gram_char_frac"),
+        )
+        out = out.join(frac, "doc_id", "left")
+    for n in DUP_NS:
+        pg = per_gram_for(n)
+        dupn = pg.groupBy("doc_id").agg(
+            (
+                F.sum(
+                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+                    .otherwise(0)
+                ).cast("bigint")
+                / F.sum(F.col("cnt") * F.length("gram")).cast("bigint")
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+        out = out.join(dupn, "doc_id", "left")
+    return out
 
 
 def py_tokens(text: str) -> list:
@@ -295,50 +351,147 @@ def simhash_rows(docs, doc_id_col: str = "doc_id", text_col: str = "text",
 
 def repetition_rows_arrow(assembled, text_col: str = "plain_text"):
     """Shuffle-free Arrow twin of ``repetition_rows`` (value-identical,
-    pinned by pytest): per-doc line/2-gram counting is bounded by the doc's
-    own size, so a python Counter per doc beats exploding every line and
-    2-gram into two corpus-wide shuffles — at 10^12 docs the exploded
-    groupBy shape moves ~tokens-many rows through the cluster twice for
-    counts each task could produce locally. Ties on the top 2-gram break to
-    the lexicographically smallest gram, as in the DataFrame form."""
+    pinned by pytest): per-doc line/n-gram counting is bounded by the doc's
+    own size, so python Counters per doc beat exploding every line and
+    n-gram into corpus-wide shuffles — at 10^12 docs the exploded groupBy
+    shape moves ~tokens-many rows through the cluster once PER GRAM SIZE
+    (nine times for the full Gopher battery) for counts each task could
+    produce locally. N-grams are counted WITHOUT building a string per
+    occurrence — token-tuple Counters for ordinary docs, a numpy rolling
+    dense-key chain for giant ones (NP_CHAIN_MIN_TOKENS switch; both paths
+    pinned equal) — and only top-count candidates are joined to strings
+    for the lexicographic tie-break. Ties break to the lexicographically
+    smallest gram, as in the DataFrame form; docs too short for a gram
+    size carry None for that column."""
     from collections import Counter
 
     import pandas as pd
 
+    frac_cols = (
+        [f"top_{n}gram_char_frac" for n in TOP_NS[1:]]
+        + [f"dup_{n}gram_char_frac" for n in DUP_NS]
+    )
+    cols = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "top_gram", "top_gram_char_frac"] + frac_cols
+
+    #: tokens above which the numpy rolling-key chain beats python Counters
+    #: (measured: per-call numpy overhead dominates below ~this size — the
+    #: sf corpora average ~57 tokens/doc and Counters are ~2.5x faster
+    #: there; a 100k-token giant doc inverts it)
+    NP_CHAIN_MIN_TOKENS = 4096
+
     def gen(batches):
-        cols = ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
-                "top_gram", "top_gram_char_frac"]
+        import numpy as np
+
+        def fracs_counter(toks, csum, max_n):
+            """Per-n gram fractions via python tuple Counters — the fast
+            shape for ordinary documents (tiny constant factors; windows
+            materialize as tuples via one C-level zip per size)."""
+            tops, dups = {}, {}
+            top_gram2 = None
+            m1 = len(toks)
+            for n in range(2, max_n + 1):
+                m = m1 - n + 1
+                if m <= 0:
+                    break
+                cnt = Counter(zip(*(toks[i:m + i] for i in range(n))))
+                tot = int(csum[n:m + n].sum() - csum[:m].sum()) + (n - 1) * m
+                if n in TOP_NS:
+                    mx = max(cnt.values())
+                    top = min(
+                        " ".join(t) for t, c in cnt.items() if c == mx
+                    )
+                    tops[n] = mx * len(top) / tot
+                    if n == 2:
+                        top_gram2 = top
+                if n in DUP_NS:
+                    dup = sum(
+                        c * (sum(map(len, t)) + n - 1)
+                        for t, c in cnt.items() if c > 1
+                    )
+                    dups[n] = dup / tot
+            return top_gram2, tops, dups
+
+        def fracs_chain(toks, ids, n_vocab, csum, max_n):
+            """Same fractions via an incremental dense rolling encoding:
+            level n's gram keys are (level n-1 dense key, next token id)
+            pairs packed into one int64 and re-densified by a 1-D
+            np.unique — one C-speed sort per gram size, no per-window
+            python objects. Keys stay < m * n_vocab, far inside int64 for
+            any in-memory document; this is the giant-doc shape."""
+            tops, dups = {}, {}
+            top_gram2 = None
+            prev = ids.astype(np.int64)
+            for n in range(2, max_n + 1):
+                m = len(ids) - n + 1
+                if m <= 0:
+                    break
+                comb = prev[:m] * np.int64(n_vocab) + ids[n - 1:]
+                _u, first, inverse, counts = np.unique(
+                    comb, return_index=True, return_inverse=True,
+                    return_counts=True,
+                )
+                occ_lens = csum[n:m + n] - csum[:m] + (n - 1)
+                tot = int(occ_lens.sum())
+                if n in TOP_NS:
+                    mx = int(counts.max())
+                    top = min(
+                        " ".join(toks[p:p + n]) for p in first[counts == mx]
+                    )
+                    tops[n] = mx * len(top) / tot
+                    if n == 2:
+                        top_gram2 = top
+                if n in DUP_NS:
+                    d = counts > 1
+                    lens_u = occ_lens[first]
+                    dups[n] = int((counts[d] * lens_u[d]).sum()) / tot
+                prev = inverse
+            return top_gram2, tops, dups
+
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in cols}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 lines = [x for x in (text or "").replace("\f", "").split("\n") if x]
                 toks = py_tokens(text)
-                grams = [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
-                if not lines or not grams:
+                if not lines or len(toks) < 2:
                     continue  # inner-join semantics of the DataFrame form
+                csum = np.concatenate((
+                    [0], np.cumsum([len(t) for t in toks], dtype=np.int64)
+                ))
                 lc = Counter(lines)
                 n_lines = len(lines)
                 line_chars = sum(len(l) for l in lines)
                 dup_chars = sum(c * len(l) for l, c in lc.items() if c > 1)
-                gc = Counter(grams)
-                top_gram, top_cnt = min(gc.items(), key=lambda kv: (-kv[1], kv[0]))
-                gram_chars = sum(len(g) for g in grams)
                 out["doc_id"].append(doc_id)
                 out["n_lines"].append(n_lines)
                 out["dup_line_frac"].append((n_lines - len(lc)) / n_lines)
                 out["dup_line_char_frac"].append(dup_chars / line_chars)
+                if len(toks) >= NP_CHAIN_MIN_TOKENS:
+                    vocab, ids = np.unique(np.array(toks), return_inverse=True)
+                    top_gram, tops, dups = fracs_chain(
+                        toks, ids, len(vocab), csum, max(DUP_NS)
+                    )
+                else:
+                    top_gram, tops, dups = fracs_counter(toks, csum, max(DUP_NS))
                 out["top_gram"].append(top_gram)
-                out["top_gram_char_frac"].append(top_cnt * len(top_gram) / gram_chars)
+                out["top_gram_char_frac"].append(tops[2])
+                for n in TOP_NS[1:]:
+                    out[f"top_{n}gram_char_frac"].append(tops.get(n))
+                for n in DUP_NS:
+                    out[f"dup_{n}gram_char_frac"].append(dups.get(n))
             yield pd.DataFrame(
                 {k: pd.Series(v, dtype=(object if k in ("doc_id", "top_gram")
-                                        else "int64" if k == "n_lines" else "float64"))
+                                        or k in frac_cols
+                                        else "int64" if k == "n_lines"
+                                        else "float64"))
                  for k, v in out.items()},
                 columns=cols,
             )
 
+    frac_schema = ", ".join(f"{c} double" for c in frac_cols)
     return assembled.select("doc_id", text_col).mapInPandas(
         gen,
         schema="doc_id string, n_lines bigint, dup_line_frac double, "
                "dup_line_char_frac double, top_gram string, "
-               "top_gram_char_frac double",
+               "top_gram_char_frac double, " + frac_schema,
     )
