@@ -250,3 +250,48 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         for r in dedup.incremental_near_dup(new_docs, sigs).collect()
     }
     assert got == exp
+
+
+def test_incremental_ann_stream_matches_batch(spark, tmp_path):
+    """Stream-static incremental ANN against the PERSISTED SRP bucket table:
+    arriving vectors must match exactly the (query, cand, cosine) pairs the
+    batch operator surfaces above the threshold."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import similarity, state
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    committed = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(
+        (F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 80)
+    ).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000) + F.col("vec_id"))
+    )
+    batch.write.parquet(in_dir)
+
+    state.write_srp_buckets(committed, str(tmp_path / "state"))
+    buckets = state.read_srp_buckets(spark, str(tmp_path / "state"))
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    q = (
+        jobs.incremental_ann_stream(stream, buckets, committed, threshold=0.3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["cand_id"], round(r["cosine"], 9))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # batch reference: same candidates without the top-k cut, thresholded
+    exp = {
+        (r["query_id"], r["cand_id"], round(r["cosine"], 9))
+        for r in similarity.incremental_ann_topk(
+            batch.drop("ingest_ts"), buckets, committed, k=10**9
+        ).where(F.col("cosine") >= 0.3).collect()
+    }
+    assert got == exp and got

@@ -280,3 +280,84 @@ def incremental_dedup_stream(
     return matched.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["doc_id", "dup_of"]
     )
+
+
+def incremental_ann_stream(
+    vecs_stream: DataFrame,
+    committed_buckets: DataFrame,
+    committed_vecs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    threshold: float = 0.3,
+    multiprobe: int | None = None,
+    probe_budget: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Continuous-ingest twin of ``similarity.incremental_ann_topk``: each
+    arriving vector is SRP-bucketed (narrow per-row expressions — stream-
+    safe) with multi-probe key expansion, STREAM-STATIC joined against the
+    committed corpus's persisted bucket table (pass
+    ``state.read_srp_buckets(...)``; when the table carries the
+    ``bucket_prefix`` partition column the probe keys include it, keeping
+    the partition-pruned scan shape), then exact-cosine verified against
+    the committed vectors and thresholded — ANN *matching* on arrival
+    rather than ranked top-k, since per-query ranking is an aggregation a
+    continuous emitter should not hold open.
+
+    A pair colliding in several bands/probes scores identically each time,
+    so duplicates are dropped by watermark-bounded key dedup on
+    (query_id, cand_id) — state stays bounded by (ingest rate x horizon).
+    The static side is the MAX_BUCKET-guarded committed table, so a
+    micro-batch can never join into a degenerate bucket. Emits
+    (query_id, cand_id, cosine, ingest_ts)."""
+    from ..operators import similarity, state
+
+    n_bands = similarity.N_BANDS
+    ppb = similarity.PLANES_PER_BAND
+    radius = similarity.MULTIPROBE_RADIUS if multiprobe is None else multiprobe
+
+    base = vecs_stream.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            similarity.srp_band_buckets_col(F.col(vec_col), n_bands, ppb, dim)
+        ).alias("bb"),
+    ).select(
+        "query_id", ts_col, "qv",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket0"),
+    )
+    masks = similarity._probe_masks(ppb, radius, probe_budget)
+    probes = base.select(
+        "query_id", ts_col, "qv", "band",
+        F.explode(
+            F.array(
+                *[similarity._flip_bits_col(F.col("bucket0"), m, ppb) for m in masks]
+            )
+        ).alias("bucket"),
+    )
+    keys = ["band", "bucket"]
+    if "bucket_prefix" in committed_buckets.columns:
+        probes = probes.withColumn(
+            "bucket_prefix", state.bucket_prefix_col(F.col("bucket"))
+        )
+        keys = ["band", "bucket_prefix", "bucket"]
+    old = committed_buckets.select(F.col("vid").alias("cand_id"), *keys)
+    cand = probes.join(old, keys).where(F.col("cand_id") != F.col("query_id"))
+    vecs = committed_vecs.select(
+        F.col(id_col).cast("bigint").alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cand.join(vecs, "cand_id")
+        .select(
+            "query_id", "cand_id",
+            similarity.cosine_col(F.col("qv"), F.col("cv")).alias("cosine"),
+            ts_col,
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["query_id", "cand_id"]
+    )
