@@ -482,6 +482,29 @@ def _q_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rotation.rotation_rows(_docs(spark, sf_dir))
 
 
+def _q_media_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: rotation CORRECTION applied to media payloads — the detect ->
+    should_correct -> rotate composition (reference rotates the page image
+    by the detected angle before OCR, rotation_detection.py:50-53). Angles
+    come from rotation_rows' guarded decisions (broadcast join onto the
+    media table); the pixel kernel is PIL-fenced with the deterministic
+    quarter-turn byte rotation as fallback. Output fingerprints the
+    rotated payload (lowercase hex md5) so the oracle can replay the byte
+    transform without blob-md5 support."""
+    docs = _docs(spark, sf_dir)
+    ang = rotation.rotation_rows(docs).where(F.col("should_correct")).select(
+        "doc_id", "media_ref", "detected_angle"
+    )
+    rot = multimodal.rotate_media(docs, ang)
+    return rot.select(
+        "doc_id",
+        "media_ref",
+        "applied_angle",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(F.lower(F.hex(F.col("payload")))).alias("payload_md5"),
+    )
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I1-I5 analog: binary media payloads -> typed metadata via Arrow
     mapInPandas (deterministic fake decode; real binary plumbing)."""
@@ -696,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": _q_nation_revenue,
         "supplier_region": _q_supplier_region,
         "rotation": _q_rotation,
+        "media_rotate": _q_media_rotate,
         "media_decode": _q_media_decode,
         "boilerplate": _q_boilerplate,
         "sections": _q_sections,
@@ -1783,6 +1807,58 @@ SELECT doc_id, span_offset, media_ref, raw_angle, detected_angle,
        (abs(detected_angle) > 0.0e0 AND text_share < {rotation.TEXT_DOMINANCE_GUARD})
          AS should_correct
 FROM snapped
+"""
+    )
+
+    # rotate_media twin: the payload is the md5-hex synthetic
+    # (media_payload_col), the fallback byte rotation shifts by
+    # quarter-turns of the snapped angle, and the fingerprint is md5 over
+    # the LOWERCASE HEX of the rotated bytes — a 2k-char rotation of the
+    # hex string IS the k-byte rotation, so no blob md5 is needed.
+    sql["media_rotate"] = (
+        _SQL_SPANS_CTE
+        + ","
+        + _SQL_COVERS_CTE
+        + f""",
+media AS (
+  SELECT s.doc_id, s.media_ref,
+         nd.text_cover / greatest(nd.text_cover + nd.media_cover, 1) AS text_share,
+         (strpos('{_HEX}', substr(md5(s.media_ref), 3, 1)) - 1) * 24.0e0 - 180.0e0 AS raw_angle,
+         repeat(md5(s.media_ref), strpos('{_HEX}', substr(md5(s.media_ref), 1, 1))) AS ph
+  FROM spans s JOIN needs nd ON s.doc_id = nd.doc_id
+  WHERE s.kind = 'media'
+),
+norm AS (
+  SELECT *, CASE WHEN m < 180.0e0 THEN m ELSE m - 360.0e0 END AS n
+  FROM (SELECT *, raw_angle - floor(raw_angle / 360.0e0) * 360.0e0 AS m FROM media)
+),
+snapped AS (
+  SELECT *, CASE WHEN abs(n - round(n / 90.0, 0) * 90.0e0) > {rotation.SNAP_MAX_DIFF}
+                 THEN 0.0e0 ELSE n END AS detected_angle
+  FROM norm
+),
+applied AS (
+  SELECT doc_id, media_ref, ph,
+         CASE WHEN abs(detected_angle) > 0.0e0
+                   AND text_share < {rotation.TEXT_DOMINANCE_GUARD}
+              THEN detected_angle ELSE 0.0e0 END AS applied_angle
+  FROM snapped
+),
+turned AS (
+  SELECT *, ((CAST(round(applied_angle / 90.0, 0) AS INT) % 4) + 4) % 4 AS turns,
+         CAST(length(ph) / 2 AS BIGINT) AS n_bytes
+  FROM applied
+),
+rotated AS (
+  SELECT doc_id, media_ref, applied_angle, n_bytes,
+         CASE WHEN turns = 0 THEN ph
+              ELSE substr(ph, CAST(2 * ((n_bytes * turns) // 4 % n_bytes) + 1 AS INT))
+                   || substr(ph, 1, CAST(2 * ((n_bytes * turns) // 4 % n_bytes) AS INT))
+         END AS rh
+  FROM turned
+)
+SELECT doc_id, media_ref, applied_angle, n_bytes, md5(rh) AS payload_md5
+FROM rotated
 """
     )
 

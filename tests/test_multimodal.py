@@ -239,3 +239,59 @@ def test_dilated_rows_estimator_recovers_skew():
     assert rotation.detect_rotation(
         "ry", b"x", ExplodingMod, method="dilated_rows"
     ) == rotation.stub_raw_angle("ry")
+
+
+def test_rotate_payload_real_branch_and_fallback():
+    """I5: with a PIL-like module the payload is decoded, rotated
+    expand=True and re-encoded; undecodable payloads fall back to the
+    deterministic quarter-turn byte rotation (lossless and invertible:
+    four quarter turns compose to identity); throwing modules never
+    raise."""
+    import numpy as np
+
+    from text_extraction_system_spark.operators import multimodal
+
+    calls = {}
+
+    class FakeImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def rotate(self, angle, expand=False):
+            calls["angle"] = angle
+            calls["expand"] = expand
+            k = int(round(angle / 90.0)) % 4
+            return FakeImg(np.rot90(self.arr, k))
+
+        def save(self, buf, format=None):
+            calls["format"] = format
+            buf.write(self.arr.tobytes())
+
+    class FakeMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(4) != b"good":
+                raise OSError("cannot identify image file")
+            return FakeImg(np.arange(16, dtype=np.uint8).reshape(4, 4))
+
+    out = multimodal._rotate_payload(b"good-img", 90.0, FakeMod)
+    assert calls == {"angle": 90.0, "expand": True, "format": "PNG"}
+    assert out == np.rot90(np.arange(16, dtype=np.uint8).reshape(4, 4), 1).tobytes()
+
+    # deterministic fallback: byte rotation by len/4 * turns, identity at 0
+    b = bytes(range(32))
+    assert multimodal._rotate_payload(b, 0.0, None) == b
+    r90 = multimodal._rotate_payload(b, 90.0, None)
+    assert r90 == b[8:] + b[:8]
+    back = r90
+    for _ in range(3):
+        back = multimodal._rotate_payload(back, 90.0, None)
+    assert back == b  # four quarter turns = identity
+    assert multimodal._rotate_payload(b, -90.0, None) == b[24:] + b[:24]
+
+    class ExplodingMod:
+        @staticmethod
+        def open(fp):
+            raise RuntimeError("poison")
+
+    assert multimodal._rotate_payload(b, 90.0, ExplodingMod) == b[8:] + b[:8]

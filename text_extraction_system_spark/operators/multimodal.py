@@ -185,3 +185,79 @@ def sample_frames(docs: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return media_table(docs).mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+ROTATED_SCHEMA = (
+    "doc_id string, media_ref string, applied_angle double, payload binary"
+)
+
+
+def _rotate_payload(b: bytes, angle: float, image_mod=None) -> bytes:
+    """Rotate one payload by ``angle`` degrees (counter-clockwise, PIL
+    convention — the reference rotates pages by the detected angle before
+    OCR, pdf_util/ocr flow). With a PIL-like ``image_mod`` a decodable
+    payload is decoded, rotated with expand=True (the reference's call
+    shape, rotation_detection.py:52), and re-encoded as PNG. Undecodable
+    payloads and the no-PIL case fall back to a DETERMINISTIC byte
+    transform — a pure rotation of the byte sequence by the quarter-turn
+    count (angle snapped to the nearest right angle), so the fallback is
+    lossless, invertible, and testable. Never raises on decode failure."""
+    if image_mod is not None:
+        import io
+
+        try:
+            img = image_mod.open(io.BytesIO(b))
+            img = img.rotate(angle, expand=True)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            pass  # not a decodable image -> deterministic fallback
+    # quarter-turn byte rotation: shift the sequence by len/4 * turns
+    turns = int(round(angle / 90.0)) % 4
+    if not b or turns == 0:
+        return b
+    k = (len(b) * turns // 4) % len(b)
+    return b[k:] + b[:k]
+
+
+def rotate_media(docs: DataFrame, angles: DataFrame | None = None) -> DataFrame:
+    """Apply rotation correction to media payloads (reference I5: rotate the
+    page image by the detected angle before OCR). ``angles`` is an optional
+    (doc_id, media_ref, detected_angle) frame — e.g. the output of
+    ``rotation.rotation_rows`` filtered to should_correct — joined onto the
+    media table (broadcast: one small row per media span needing
+    correction); media without an angle row pass through with angle 0.
+    The pixel kernel runs PIL when importable AND the payload decodes;
+    otherwise the deterministic quarter-turn byte rotation runs — same
+    fence as resize_media."""
+    media = media_table(docs)
+    if angles is not None:
+        a = angles.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "media_ref",
+            F.col("detected_angle").cast("double").alias("detected_angle"),
+        )
+        media = media.join(F.broadcast(a), ["doc_id", "media_ref"], "left")
+    else:
+        media = media.withColumn("detected_angle", F.lit(None).cast("double"))
+    media = media.withColumn(
+        "applied_angle", F.coalesce(F.col("detected_angle"), F.lit(0.0))
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image as image_mod  # pragma: no cover
+        except ImportError:
+            image_mod = None
+        for pdf in batches:
+            out = pdf[["doc_id", "media_ref", "applied_angle"]].copy()
+            out["payload"] = [
+                _rotate_payload(bytes(p), float(a), image_mod)
+                for p, a in zip(pdf["payload"], pdf["applied_angle"])
+            ]
+            yield out
+
+    return media.select(
+        "doc_id", "media_ref", "applied_angle", "payload"
+    ).mapInPandas(gen, schema=ROTATED_SCHEMA)
