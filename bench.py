@@ -42,6 +42,7 @@ HEADLINE = [
     "text_coords",
     "coords_text",
     "media_decode",
+    "media_rotate",
     "boilerplate",
     "tables",
     "quality",
