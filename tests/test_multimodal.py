@@ -295,3 +295,67 @@ def test_rotate_payload_real_branch_and_fallback():
             raise RuntimeError("poison")
 
     assert multimodal._rotate_payload(b, 90.0, ExplodingMod) == b[8:] + b[:8]
+
+
+def test_orientation_probe_and_osd_composition():
+    """I3: the coarse orientation probe recovers all four right-angle
+    rotations of a left-aligned page (axis via projection-profile variance,
+    polarity via edge raggedness), and detect_rotation's dilated-rows path
+    composes OSD -> upright rotation -> fine angle -> norm_angle like the
+    reference flow (rotation_detection.py:42-53, 79)."""
+    import numpy as np
+
+    from text_extraction_system_spark.operators import rotation
+
+    def page(theta_deg=0.0, h=600, w=480):
+        """Left-aligned paragraphs (ragged right edges), optional fine
+        skew; 40-px line spacing keeps bars separate under the composed
+        dilation window (the regime the fine estimator exists for)."""
+        arr = np.full((h, w), 255.0)
+        slope = -np.tan(np.radians(theta_deg))
+        xs = np.arange(w)
+        lens = [w - 60, w - 70, w - 64, w // 3, w - 62, w // 2 - 30]
+        y, i = 40, 0
+        while y < h - 40:
+            ln = lens[i % len(lens)]
+            for t in range(6):
+                ys = np.clip(np.round(y + t + slope * xs).astype(int), 0, h - 1)
+                sel = xs < 20 + ln
+                arr[ys[sel], xs[sel]] = 0.0
+            y += 40
+            i += 1
+        return arr
+
+    up = page()
+    for k, want in [(0, 0), (1, 270), (2, 180), (3, 90)]:
+        got = rotation.detect_orientation(np.rot90(up, k))
+        assert got is not None and got[0] == want, (k, got)
+    assert rotation.detect_orientation(np.full((64, 64), 255.0)) is None
+
+    class FakeImg:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr if dtype is None else self.arr.astype(dtype)
+
+    def mod_for(arr):
+        class M:
+            @staticmethod
+            def open(fp):
+                return FakeImg(arr)
+        return M
+
+    # a page rotated 90deg CW (np.rot90 k=-1) with 1.5deg fine skew:
+    # the composition must report ~ +90 + 1.5, normalized
+    skewed = np.rot90(page(1.5), -1)
+    got = rotation.detect_rotation("r", b"x", mod_for(skewed),
+                                   method="dilated_rows")
+    assert abs(got - 91.5) <= 0.2, got
+    # osd off: the fine estimator alone cannot see the quarter turn
+    got_no = rotation.detect_rotation("r", b"x", mod_for(np.rot90(page(), -1)),
+                                      method="dilated_rows", with_osd=False)
+    assert abs(got_no) <= 45.0

@@ -341,7 +341,8 @@ def dilated_rows_status(gray, kernel=DILATE_KERNEL, iters: int = DILATE_ITERS,
 
 
 def detect_rotation(media_ref: str, payload: bytes, image_mod=None,
-                    part_size: int = TILE_PART_SIZE, method: str = "tile") -> float:
+                    part_size: int = TILE_PART_SIZE, method: str = "tile",
+                    with_osd: bool = True) -> float:
     """A5/A6 raw-angle estimate with the same never-raise fence as
     ``multimodal._resize_payload``: with a PIL-like ``image_mod``, a
     decodable payload is decoded to grayscale and run through the chosen
@@ -360,9 +361,21 @@ def detect_rotation(media_ref: str, payload: bytes, image_mod=None,
             img = image_mod.open(io.BytesIO(payload)).convert("L")
             arr = np.asarray(img)
             if method == "dilated_rows":
+                # the reference's full flow (rotation_detection.py:42-53,
+                # 79): coarse OSD orientation first, rotate the image
+                # upright (np.rot90 — exact), fine dilated-rows angle on
+                # the rotated page, then norm_angle(orientation + angle)
+                orient = 0
+                if with_osd:
+                    osd = detect_orientation(arr)
+                    if osd is not None and osd[0] and osd_confident(osd):
+                        orient = osd[0]
+                        arr = np.rot90(arr, orient // 90)
                 st = dilated_rows_status(arr)
                 if st is not None:
-                    return st[0]
+                    from ..core import angles as core_angles
+
+                    return core_angles.norm_angle(orient + st[0])
             else:
                 a = _most_frequent_tile_angle(arr, part_size)
                 if a is not None:
@@ -433,3 +446,102 @@ def rotation_rows(docs: DataFrame) -> DataFrame:
             "should_correct"
         ),
     )
+
+
+def detect_orientation(gray):
+    """I3 — coarse page orientation in {0, 90, 180, 270} degrees (the
+    tesseract-OSD analog, reference ocr.image_to_osd /
+    rotation_detection.py:42-53), pure numpy:
+
+    * AXIS (0/180 vs 90/270): the horizontal projection profile of ink has
+      far higher variance when text lines run horizontally (sharp
+      line/gap alternation) than when they run vertically (near-uniform
+      smear) — the same criterion the tile estimator optimizes per angle.
+    * POLARITY (0 vs 180 / 90 vs 270): left-aligned text has aligned LEFT
+      edges and ragged RIGHT edges; upside-down pages flip the raggedness.
+      Scored as var(right-edge positions) - var(left-edge positions) over
+      ink rows. A documented heuristic: centered/justified text defeats
+      it, which is why the reference leans on glyph-shape OSD — callers
+      get (orientation, axis_score_ratio) and can ignore low-confidence
+      answers.
+
+    Returns (orientation_degrees, axis_ratio, polarity_margin) — rotating
+    the image by +orientation (counter-clockwise, PIL convention) restores
+    upright — or None for empty/inkless pages. Gate applications on
+    ``osd_confident`` (the reference's
+    ``orientation_and_script_detected_in_osd`` analog): uniform-width line
+    blocks have no raggedness signal and should not be flipped on noise."""
+    import numpy as np
+
+    gray = np.asarray(gray, dtype=np.float64)
+    if gray.ndim != 2 or gray.size == 0:
+        return None
+    ink = _otsu_ink(gray)
+    if not ink.any():
+        return None
+
+    def profile_var(m):  # variance of the per-row ink counts
+        return float(np.var(m.sum(axis=1)))
+
+    h_var = profile_var(ink)           # lines horizontal -> high
+    v_var = profile_var(ink.T)         # lines vertical -> high
+    axis_ratio = (h_var + 1.0) / (v_var + 1.0)
+    base = ink if h_var >= v_var else ink.T  # np.rot90(x,1) CCW == x.T flipped
+
+    def edge_raggedness(m):
+        """var(right edges) - var(left edges) over TEXT-LINE BANDS
+        (contiguous runs of ink rows) — positive for upright left-aligned
+        text. Band-level extents, not per-pixel-row ones: within one
+        skewed line the per-row segment walks across the page and fakes
+        asymmetry, while the band's min/max columns are skew-invariant."""
+        rows_mask = m.any(axis=1)
+        edges = np.diff(np.concatenate(([0], rows_mask.astype(np.int8), [0])))
+        starts = np.nonzero(edges == 1)[0]
+        ends = np.nonzero(edges == -1)[0]
+        if len(starts) < 2:
+            return 0.0
+        cols = np.arange(m.shape[1])
+        firsts, lasts = [], []
+        for s, e in zip(starts, ends):
+            cc = cols[m[s:e].any(axis=0)]
+            firsts.append(cc.min())
+            lasts.append(cc.max())
+        return float(np.var(np.asarray(lasts, dtype=np.float64))
+                     - np.var(np.asarray(firsts, dtype=np.float64)))
+
+    r_up = edge_raggedness(base)
+    r_dn = edge_raggedness(base[::-1, ::-1])
+    polarity_margin = (r_up - r_dn) / (abs(r_up) + abs(r_dn) + 1.0)
+    upright = polarity_margin >= 0.0
+    if h_var >= v_var:
+        orientation = 0 if upright else 180
+    else:
+        # base = ink.T maps a 90deg-CW-rotated page (np.rot90(up, -1))
+        # back toward upright modulo a flip; resolve the pair by polarity
+        orientation = 90 if upright else 270
+    return orientation, axis_ratio, polarity_margin
+
+
+#: axis variance ratio beyond which the 0/180-vs-90/270 call is trusted,
+#: and minimum |polarity margin| to trust an upside-down call
+OSD_AXIS_CONF = 2.0
+OSD_POLARITY_CONF = 0.2
+
+
+def osd_confident(osd) -> bool:
+    """The reference applies OSD output only when orientation AND script
+    were confidently detected (ocr.orientation_and_script_detected_in_osd);
+    this is the numpy probe's analog. A non-flip answer (orientation 0)
+    needs no polarity evidence; 90/270 need a confident axis; 180 and 270
+    additionally need a real raggedness margin."""
+    if osd is None:
+        return False
+    orientation, axis_ratio, margin = osd
+    if orientation == 0:
+        return True
+    if orientation == 180:
+        return abs(margin) >= OSD_POLARITY_CONF
+    axis_ok = axis_ratio <= 1.0 / OSD_AXIS_CONF
+    if orientation == 90:
+        return axis_ok
+    return axis_ok and abs(margin) >= OSD_POLARITY_CONF  # 270
