@@ -130,6 +130,14 @@ def _q_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structure_op.paragraph_rows(res)
 
 
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF keyword extraction: one token explode feeds both
+    term frequencies and document frequencies; fixed-point integer IDF
+    ((1e6 * n_docs) div df — monotone in log-IDF) keeps the scoring
+    oracle-hashable; per-doc top-3 window with (score desc, token) order."""
+    return textstats.tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -695,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages": _q_pages,
         "paragraphs": _q_paragraphs,
         "token_count": _q_token_count,
+        "tfidf_keywords": _q_tfidf_keywords,
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -963,6 +972,35 @@ WHERE c.text != ''
         f"CAST(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_REGEX}')) AS BIGINT) "
         "AS n_bpe_tokens FROM documents"
     )
+
+    # TF-IDF keyword twin: integer-exact scoring ((1e6 * n_docs) // df is
+    # BIGINT floor division in both engines — Spark's `div`, DuckDB's `//`;
+    # every operand positive), (score desc, token) tie order.
+    sql["tfidf_keywords"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, x AS token
+  FROM documents, unnest({toks}) AS t(x)
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY token
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+weighted AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ((1000000 * nd.n_docs) // dfreq.df) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank
+  FROM weighted
+)
+SELECT doc_id, rank, token, tf, df, score FROM ranked WHERE rank <= 3
+"""
 
     sql["lang_id"] = (
         f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_sql_lang('text')} AS language "

@@ -48,6 +48,7 @@ HEADLINE = [
     "quality",
     "repetition",
     "lang_id",
+    "tfidf_keywords",
     "fingerprint",
     "simhash",
     "exact_dedup",

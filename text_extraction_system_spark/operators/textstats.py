@@ -495,3 +495,60 @@ def repetition_rows_arrow(assembled, text_col: str = "plain_text"):
                "dup_line_char_frac double, top_gram string, "
                "top_gram_char_frac double, " + frac_schema,
     )
+
+
+def tfidf_keywords(docs, k: int = 3, doc_id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """Per-document top-k keywords by TF-IDF — the corpus-level two-pass
+    curation operator (per-doc signals like quality/repetition need no
+    corpus state; this one does): one token explode feeds BOTH the per-doc
+    term frequencies and the corpus document frequencies, then a hash join
+    on token brings the IDF weight back to each (doc, token).
+
+    Scoring is INTEGER-exact (oracle-hashable — see the float-exact
+    recipe): idf_scaled = (1_000_000 * n_docs) div df (integer division,
+    the fixed-point inverse document frequency; the log() of textbook IDF
+    is monotone in this, so top-k sets differ only where log-IDF ties
+    anyway) and score = tf * idf_scaled, all BIGINT. Ties break by token
+    string ascending.
+
+    Scale shape: explode -> (doc, token) count [shuffle 1] -> token df
+    aggregate [shuffle 2, vocabulary-sized] -> hash join on token (the
+    vocabulary at web scale is ~10^8 rows — NOT broadcastable; the join
+    hashes both sides on token) -> per-doc top-k window [shuffle 3 on
+    doc_id]. n_docs rides in as a 1-row broadcast cross join."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n_docs = toks.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    weighted = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.expr("(1000000 * n_docs) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "token", "tf", "df", "score")
+    )
