@@ -130,6 +130,15 @@ def _q_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structure_op.paragraph_rows(res)
 
 
+def _q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-window scoring (exact-substring-dedup
+    signal at window granularity): per doc, the fraction of its 8-token
+    windows that occur in at least one other document — shared boilerplate
+    runs inside otherwise-distinct documents, the class doc-level MinHash
+    misses."""
+    return dedup.dup_window_coverage(_docs(spark, sf_dir))
+
+
 def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level TF-IDF keyword extraction: one token explode feeds both
     term frequencies and document frequencies; fixed-point integer IDF
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraphs": _q_paragraphs,
         "token_count": _q_token_count,
         "tfidf_keywords": _q_tfidf_keywords,
+        "dup_windows": _q_dup_windows,
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -1000,6 +1010,35 @@ ranked AS (
   FROM weighted
 )
 SELECT doc_id, rank, token, tf, df, score FROM ranked WHERE rank <= 3
+"""
+
+    # cross-doc duplicated-window twin: 8-token windows, per-(doc, window)
+    # occurrence counts, per-window distinct-doc counts over the distinct
+    # pairs, per-doc rollup; fraction is a single int/int division.
+    _w = dedup.DUP_WINDOW_TOKENS
+    sql["dup_windows"] = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {toks} AS ws FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(ws[i + 1 : i + {_w}], ' ') AS win
+  FROM toks, unnest(range(len(ws) - {_w - 1})) AS t(i) WHERE len(ws) >= {_w}
+),
+pdw AS (
+  SELECT doc_id, win, CAST(count(*) AS BIGINT) AS occ
+  FROM wins GROUP BY doc_id, win
+),
+wd AS (SELECT win, CAST(count(*) AS BIGINT) AS n_docs_with FROM pdw GROUP BY win),
+roll AS (
+  SELECT doc_id,
+         CAST(sum(occ) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN n_docs_with > 1 THEN occ ELSE 0 END) AS BIGINT) AS dup_windows,
+         CAST(sum(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_shared_windows
+  FROM pdw JOIN wd USING (win) GROUP BY doc_id
+)
+SELECT doc_id, n_windows, dup_windows, distinct_shared_windows,
+       CAST(dup_windows AS DOUBLE) / n_windows AS dup_window_frac
+FROM roll
 """
 
     sql["lang_id"] = (

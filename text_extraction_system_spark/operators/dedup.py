@@ -439,3 +439,59 @@ def incremental_near_dup(
         )
         .where(F.col("est_jaccard") >= est_threshold)
     )
+
+
+#: window width (in tokens) for cross-document duplicated-window scoring —
+#: the window-granular analog of exact-substring dedup (Lee et al. 2022,
+#: "Deduplicating Training Data Makes Language Models Better"): substrings
+#: this long shared across documents are near-certain boilerplate/copies,
+#: not coincidence
+DUP_WINDOW_TOKENS = 8
+
+
+def dup_window_coverage(docs: DataFrame, n: int = DUP_WINDOW_TOKENS,
+                        doc_id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document cross-corpus duplication signal: the fraction of the
+    doc's n-token windows that also occur in at least one OTHER document
+    (plus the distinct shared-window count). Doc-level MinHash finds
+    whole-document near-copies; THIS finds shared boilerplate runs inside
+    otherwise-distinct documents — the signal exact-substring dedup cuts
+    on, at window granularity (window-fraction, not merged-interval
+    character coverage: the ranking is the same and the aggregation needs
+    no interval union).
+
+    Scale shape: one window explode -> per-(doc, window) counts
+    [shuffle 1] -> per-window distinct-doc counts over the distinct
+    (doc, window) pairs [shuffle 2, shared-vocabulary-sized] -> hash join
+    back on window -> per-doc rollup [shuffle 3]. Nothing is pairwise;
+    window identity can be replaced by a 64-bit hash at 10^12 scale to
+    shrink shuffle width (same plan shape). Docs shorter than n tokens
+    have no windows and emit no row."""
+    from .textstats import ngram_col
+
+    wins = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.explode(ngram_col(F.col(text_col), n)).alias("win"),
+    )
+    per_doc_win = wins.groupBy("doc_id", "win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("occ")
+    )
+    win_docs = per_doc_win.groupBy("win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_with")
+    )
+    return (
+        per_doc_win.join(win_docs, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs_with") > 1, F.col("occ")).otherwise(0))
+            .cast("bigint").alias("dup_windows"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+            .cast("bigint").alias("distinct_shared_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "dup_windows", "distinct_shared_windows",
+            (F.col("dup_windows") / F.col("n_windows")).alias("dup_window_frac"),
+        )
+    )
