@@ -1021,7 +1021,8 @@ WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, {toks} AS ws FROM documents
 ),
 wins AS (
-  SELECT doc_id, array_to_string(ws[i + 1 : i + {_w}], ' ') AS win
+  SELECT doc_id,
+         {_sql_tokhash("array_to_string(ws[i + 1 : i + " + str(_w) + "], ' ')", 15)} AS win
   FROM toks, unnest(range(len(ws) - {_w - 1})) AS t(i) WHERE len(ws) >= {_w}
 ),
 pdw AS (

@@ -499,3 +499,50 @@ def test_repetition_chain_path_matches_counter_and_dataframe(spark):
     assert snap(textstats.repetition_rows_arrow(small)) == snap(
         textstats.repetition_rows(small)
     )
+
+
+def test_tfidf_and_dup_windows_semantics(spark):
+    """Hand-computed cases for the two corpus-level ops: TF-IDF ranks a
+    doc-specific repeated term above corpus-wide terms (fixed-point
+    integer IDF), and dup_window_coverage flags exactly the windows shared
+    across docs."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import dedup, textstats
+
+    docs = spark.createDataFrame(
+        [("a", "zebra zebra common common common"),
+         ("b", "common common common apple pie"),
+         ("c", "common pie crust")],
+        "doc_id string, text string",
+    )
+    rows = textstats.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc a: zebra tf=2 df=1 -> score 2*(3e6/1)=6e6; common tf=3 df=3 -> 3*1e6
+    a = {r["rank"]: (r["token"], r["score"]) for r in by_doc["a"]}
+    assert a[1] == ("zebra", 6_000_000)
+    assert a[2] == ("common", 3_000_000)
+    # doc c: crust df=1 -> 3_000_000 beats pie df=2 -> 1_500_000
+    c = {r["rank"]: r["token"] for r in by_doc["c"]}
+    assert c[1] == "crust" and c[2] == "pie"
+
+    w = " ".join
+    shared = w(f"s{i}" for i in range(8))           # 8-token run in both
+    d1 = shared + " x1 x2 x3"
+    d2 = "y0 " + shared + " y1"
+    d3 = w(f"z{i}" for i in range(10))              # no overlap
+    docs2 = spark.createDataFrame(
+        [("1", d1), ("2", d2), ("3", d3)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup.dup_window_coverage(docs2).collect()}
+    # d1: 11 tokens -> 4 windows, only the exact shared window duplicated
+    assert got["1"]["n_windows"] == 4
+    assert got["1"]["dup_windows"] == 1
+    assert got["1"]["distinct_shared_windows"] == 1
+    assert abs(got["1"]["dup_window_frac"] - 0.25) < 1e-12
+    # d2: 10 tokens -> 3 windows, one shared
+    assert got["2"]["n_windows"] == 3 and got["2"]["dup_windows"] == 1
+    # d3: 3 windows, none shared
+    assert got["3"]["n_windows"] == 3 and got["3"]["dup_windows"] == 0

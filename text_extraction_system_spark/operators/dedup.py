@@ -461,19 +461,22 @@ def dup_window_coverage(docs: DataFrame, n: int = DUP_WINDOW_TOKENS,
     character coverage: the ranking is the same and the aggregation needs
     no interval union).
 
-    Scale shape: one window explode -> per-(doc, window) counts
-    [shuffle 1] -> per-window distinct-doc counts over the distinct
+    Scale shape: one window explode, windows immediately collapsed to a
+    60-bit md5-prefix integer so every downstream shuffle carries
+    (doc_id, bigint) instead of a ~50-char string -> per-(doc, window)
+    counts [shuffle 1] -> per-window distinct-doc counts over the distinct
     (doc, window) pairs [shuffle 2, shared-vocabulary-sized] -> hash join
-    back on window -> per-doc rollup [shuffle 3]. Nothing is pairwise;
-    window identity can be replaced by a 64-bit hash at 10^12 scale to
-    shrink shuffle width (same plan shape). Docs shorter than n tokens
-    have no windows and emit no row."""
-    from .textstats import ngram_col
+    back on window hash -> per-doc rollup [shuffle 3]. Nothing is
+    pairwise; an md5 collision would need ~2^30 distinct shared windows
+    per partition-of-interest (birthday bound) and is deterministic and
+    engine-identical anyway, so the oracle stays bit-exact. Docs shorter
+    than n tokens have no windows and emit no row."""
+    from .textstats import ngram_col, token_hash_col
 
     wins = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
-        F.explode(ngram_col(F.col(text_col), n)).alias("win"),
-    )
+        F.explode(ngram_col(F.col(text_col), n)).alias("win_s"),
+    ).select("doc_id", token_hash_col(F.col("win_s"), hex_chars=15).alias("win"))
     per_doc_win = wins.groupBy("doc_id", "win").agg(
         F.count(F.lit(1)).cast("bigint").alias("occ")
     )
