@@ -526,11 +526,15 @@ def tfidf_keywords(docs, k: int = 3, doc_id_col: str = "doc_id",
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    df = toks.groupBy("token").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("df")
-    )
-    n_docs = toks.agg(
-        F.count_distinct("doc_id").cast("bigint").alias("n_docs")
+    # df and n_docs derive from tf, NOT from a second/third pass over the
+    # raw token explode: the (doc, token) rows are already distinct after
+    # the tf aggregate, so count(*) == count_distinct — and because all
+    # three branches share the identical tf subtree, Catalyst reuses ONE
+    # token-explode shuffle (ReusedExchange) instead of re-scanning and
+    # re-exploding the corpus per branch
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     weighted = (
         tf.join(df, "token")
