@@ -316,11 +316,19 @@ def _q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing of the train split. One narrow signal pass, the dedup hash
     shuffle, then the split hash (no shuffle) and the two-level packing
     prefix sum — the manifest a 10^12-doc release job would write out."""
+    from pyspark.sql.window import Window
+
     s = curation.doc_signals(_docs(spark, sf_dir))
     kept = s.where(curation.keep_predicate())
-    canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    surv = kept.join(canon, ["content_hash", "doc_id"]).select(
-        "doc_id", "source", "n_tokens"
+    # one-pass exact dedup: keep the min-doc_id row per content_hash with a
+    # row_number window — the previous groupBy + self-join formulation
+    # evaluated the whole curation signal pass twice (once per join branch)
+    # and reshuffled both sides on the composite join key
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source", "n_tokens")
     )
     sp = surv.withColumn("split", splits.split_col(F.col("doc_id")))
     train = sp.where(F.col("split") == "train").select("doc_id", "n_tokens")
