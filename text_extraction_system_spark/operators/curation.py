@@ -115,8 +115,17 @@ def funnel(
         g["tok_ok"].alias("tok_ok"),
     )
     kept = flagged.where("lang_ok AND q_ok AND tok_ok")
-    canon = kept.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    surv = kept.join(canon, ["content_hash", "doc_id"])
+    # one-pass exact dedup: min-doc_id row per content_hash via a window —
+    # the groupBy + self-join form evaluated the signal pass once per join
+    # branch (see the identical change in the release-manifest query)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     stages = flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_input"),
