@@ -228,6 +228,23 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(_docs(spark, sf_dir))
 
 
+#: minimum verified Jaccard for an edge to join the duplicate-cluster graph
+DUP_CLUSTER_MIN_JACCARD = 0.5
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the verified
+    near-dup pair graph (min-label propagation, one join round per
+    iteration with convergence detection — dedup.connected_components);
+    every clustered doc labeled with its component's minimum doc id. The
+    step after pair generation in a real release pipeline: A~B and B~C
+    collapse to one canonical even when A~C was never emitted."""
+    pairs = dedup.near_dup_pairs(_docs(spark, sf_dir)).where(
+        F.col("jaccard") >= DUP_CLUSTER_MIN_JACCARD
+    )
+    return dedup.connected_components(pairs, id_a="doc_a", id_b="doc_b")
+
+
 #: deterministic eval-set selector for the decontamination query: every
 #: 97th doc plays the held-out benchmark, the rest are the training corpus
 DECONTAM_EVAL_MOD = 97
@@ -733,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": _q_top_orders,
         "sentences": _q_sentences,
         "near_dup_pairs": _q_near_dup_pairs,
+        "dup_clusters": _q_dup_clusters,
         "decontaminate": _q_decontaminate,
         "split_assign": _q_split_assign,
         "pack_bins": _q_pack_bins,
@@ -1379,6 +1397,27 @@ SELECT p.doc_a, p.doc_b,
 FROM pairs p
 JOIN sh sa ON p.doc_a = sa.doc_id
 JOIN sh sb ON p.doc_b = sb.doc_id
+"""
+
+    # duplicate-cluster twin: the whole near_dup_pairs query becomes a CTE,
+    # thresholded edges go bidirectional, and a recursive CTE computes the
+    # transitive closure of labels; min reachable id per vertex IS the
+    # connected component's canonical id (string min — both engines compare
+    # VARCHAR doc ids lexicographically).
+    sql["dup_clusters"] = f"""WITH RECURSIVE np AS (
+{sql['near_dup_pairs']}
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM np WHERE jaccard >= {DUP_CLUSTER_MIN_JACCARD}
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM np WHERE jaccard >= {DUP_CLUSTER_MIN_JACCARD}
+),
+reach(id, label) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
 """
 
     # decontamination twin: same shingle construction + md5-prefix hash as

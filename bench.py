@@ -56,6 +56,7 @@ HEADLINE = [
     "media_features",
     "media_near_dup",
     "near_dup_pairs",
+    "dup_clusters",
     "dup_windows",
     "decontaminate",
     "split_assign",

@@ -546,3 +546,39 @@ def test_tfidf_and_dup_windows_semantics(spark):
     assert got["2"]["n_windows"] == 3 and got["2"]["dup_windows"] == 1
     # d3: 3 windows, none shared
     assert got["3"]["n_windows"] == 3 and got["3"]["dup_windows"] == 0
+
+
+def test_connected_components_transitive_chain(spark):
+    """Cluster resolution is transitive across pairs that were never
+    directly emitted (A~B, B~C => one cluster) and labels every clustered
+    vertex with the component minimum; long chains converge within the
+    iteration bound."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),            # chain -> cluster 'a'
+         ("x", "y"),                        # separate pair -> cluster 'x'
+         ("m", "n"), ("n", "o"), ("o", "p")],  # longer chain -> 'm'
+        "id_a string, id_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x",
+                   "m": "m", "n": "m", "o": "m", "p": "m"}
+
+    # a 12-vertex path needs ~diameter rounds; the bound must cut off
+    # loudly, not return partial labels
+    chain = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(11)],
+        "id_a string, id_b string",
+    )
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in dedup.connected_components(chain).collect()}
+    assert set(full.values()) == {"v00"} and len(full) == 12
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)

@@ -498,3 +498,77 @@ def dup_window_coverage(docs: DataFrame, n: int = DUP_WINDOW_TOKENS,
             (F.col("dup_windows") / F.col("n_windows")).alias("dup_window_frac"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the
+    near-dup pair graph, labeling every vertex with the minimum doc id
+    reachable from it — the step a release pipeline runs after pair
+    generation (near-dup is transitive in effect: A~B and B~C must
+    collapse to ONE canonical doc even when A~C was never emitted).
+
+    Classic distributed min-label propagation: each round every vertex
+    takes the min of its own label and its neighbors' labels (one join
+    per direction + a groupBy-min), converging in O(component diameter)
+    rounds — near-dup clusters are shallow (stars/chains around a few
+    templates), so a handful of rounds closes 10^12-scale graphs too
+    (the large-star/small-star optimization of Kiveris et al. exists for
+    adversarial diameters; the plan shape here is the standard one).
+    Each round ends in ``localCheckpoint`` to truncate the iterative
+    lineage (on a cluster: checkpoint to durable storage), and
+    convergence is detected by counting changed labels (one small action
+    per round). Raises after ``max_iter`` rounds instead of returning a
+    silently-partial labeling.
+
+    Returns (doc_id, cluster_id) for every vertex that appears in a pair;
+    singletons never enter the graph and keep themselves as canonical by
+    construction."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds the bound; raise max_iter or switch to "
+        "the large-star/small-star variant"
+    )
