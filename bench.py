@@ -55,8 +55,11 @@ HEADLINE = [
     "curation_funnel",
     "media_features",
     "media_near_dup",
+    # dup_clusters is deliberately NOT here: connected_components runs its
+    # iterative actions (checkpoint + convergence counts) when the query is
+    # BUILT, so a noop-write timing would measure only the final label
+    # write, not the clustering — a dishonest number
     "near_dup_pairs",
-    "dup_clusters",
     "dup_windows",
     "decontaminate",
     "split_assign",
