@@ -232,6 +232,13 @@ def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_CLUSTER_MIN_JACCARD = 0.5
 
 
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus distribution report with EXACT rank-based
+    quantiles (percentile-disc by rank — engine-portable, unlike
+    interpolated percentiles; see textstats.source_stats)."""
+    return textstats.source_stats(_docs(spark, sf_dir))
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over the verified
     near-dup pair graph (min-label propagation, one join round per
@@ -739,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "tfidf_keywords": _q_tfidf_keywords,
         "dup_windows": _q_dup_windows,
+        "source_stats": _q_source_stats,
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -1036,6 +1044,31 @@ ranked AS (
   FROM weighted
 )
 SELECT doc_id, rank, token, tf, df, score FROM ranked WHERE rank <= 3
+"""
+
+    # per-source distribution twin: exact rank-based quantiles (value at
+    # rank ceil(q*n) within the source's (n_tokens, doc_id) order); the
+    # ceil operand is the same IEEE double product in both engines.
+    sql["source_stats"] = f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM c
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(max(CASE WHEN rk = ceil(n * 0.5) THEN n_tokens END) AS BIGINT) AS p50_tokens,
+       CAST(max(CASE WHEN rk = ceil(n * 0.9) THEN n_tokens END) AS BIGINT) AS p90_tokens
+FROM r GROUP BY source
 """
 
     # cross-doc duplicated-window twin: 8-token windows, per-(doc, window)

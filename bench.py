@@ -63,6 +63,7 @@ HEADLINE = [
     "dup_windows",
     "decontaminate",
     "split_assign",
+    "source_stats",
     "incremental_dedup",
     "release_manifest",
     "pack_bins",

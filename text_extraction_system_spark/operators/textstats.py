@@ -556,3 +556,45 @@ def tfidf_keywords(docs, k: int = 3, doc_id_col: str = "doc_id",
         .select("doc_id", F.col("rank").cast("int").alias("rank"),
                 "token", "tf", "df", "score")
     )
+
+
+def source_stats(docs, doc_id_col: str = "doc_id", text_col: str = "text",
+                 source_col: str = "source"):
+    """Per-source corpus distribution report: doc counts, token totals, and
+    EXACT rank-based quantiles (p50/p90) of per-doc token counts. Quantiles
+    are percentile-disc by rank — the value at rank ceil(q * n) within the
+    source's sorted token counts — because interpolated percentiles
+    (Spark `percentile`, DuckDB `quantile_cont`) mix floats whose rounding
+    is not engine-portable, while rank selection is integer-exact in any
+    engine. Ties inside a source break by doc_id so the picked row is
+    deterministic.
+
+    Scale shape: one narrow token-count pass, one groupBy-window per
+    source (the window sorts WITHIN each source only — no global sort),
+    then the per-source rollup. At 10^12 docs a giant source's sort is the
+    cost; for monitoring, run on a sample — the operator is unchanged."""
+    from pyspark.sql.window import Window
+
+    counts = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = counts.select(
+        "source", "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("n_tokens"))
+        ).cast("bigint").alias("p50_tokens"),
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * 0.9), F.col("n_tokens"))
+        ).cast("bigint").alias("p90_tokens"),
+    )
