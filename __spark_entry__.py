@@ -457,6 +457,23 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, centroids=cents)
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k by asymmetric distance: trained per-block codebooks
+    (deterministic Lloyd — the oracle replays all PQ_BLOCKS trainings),
+    vectors collapse to m 4-bit codes (the 64x-compressed serving tier),
+    queries score candidates with m table lookups each. Codebooks persist
+    per corpus (train once / serve many — state.write_pq_codebooks)."""
+    from text_extraction_system_spark.operators import state
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = _state_dir(sf_dir)
+    books = state.read_pq_codebooks(base)
+    if books is None:
+        books = similarity.pq_train(emb)
+        state.write_pq_codebooks(books, base)
+    return similarity.pq_topk(emb, books)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (T/streaming analog, batch formulation)."""
     _utc(spark)
@@ -788,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
         "incremental_ann": _q_incremental_ann,
+        "ann_pq_topk": _q_ann_pq_topk,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "curation_funnel": _q_curation_funnel,
@@ -1884,6 +1902,97 @@ tranked AS (
   FROM tscored
 )
 SELECT query_id, cand_id, cosine, rank FROM tranked WHERE rank <= 5
+"""
+
+    # PQ twin: replays ALL m per-block trainings (each the same unrolled
+    # deterministic-Lloyd chain as the trained-IVF twin, over the block's
+    # dim/m-component slices), then encodes every vector per block
+    # (argmin over the block's codebook with the engine's c2 - 2*fold
+    # order), builds per-query per-block distance tables the same way, and
+    # folds the m ADC entries in ascending block order from 0.0 — the
+    # exact sum order of pq_topk's aggregate.
+    _pq_m, _pq_k, _pq_sub, _pq_it = (
+        similarity.PQ_BLOCKS, similarity.PQ_CENTROIDS, 64 // similarity.PQ_BLOCKS, 3
+    )
+
+    def _pq_sqfold(v):
+        return (f"list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), "
+                "(a, b) -> a + b)")
+
+    def _pq_dot(vecexpr, b, cvexpr):
+        # fold over the block's sub dims, ascending — matches the numpy
+        # dim-major accumulation and the HOF zip_with fold
+        return ("list_reduce(list_prepend(0.0, list_transform(range("
+                f"{_pq_sub}), j -> {vecexpr}[{b * _pq_sub} + j + 1]::DOUBLE * "
+                f"{cvexpr}[j + 1])), (x, y) -> x + y)")
+
+    _pq_ctes = []
+    for _b in range(_pq_m):
+        _pq_ctes.append(f"""pb{_b}s AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+         list_transform(embedding[{_b * _pq_sub + 1} : {_b * _pq_sub + _pq_sub}],
+                        x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_pq_k})
+),
+pb{_b}c0 AS (SELECT c, cv, {_pq_sqfold('cv')} AS c2 FROM pb{_b}s)""")
+        for _i in range(_pq_it):
+            _pq_ctes.append(f"""pb{_b}d{_i} AS (
+  SELECT e.vec_id AS vid, e.embedding AS vec, cc.c AS c,
+         cc.c2 - 2.0 * {_pq_dot('e.embedding', _b, 'cc.cv')} AS dist
+  FROM embeddings e, pb{_b}c{_i} cc
+),
+pb{_b}a{_i} AS (
+  SELECT vid, vec, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS rk
+    FROM pb{_b}d{_i}
+  ) WHERE rk = 1
+),
+pb{_b}m{_i} AS (
+  SELECT cell, j AS dim,
+         list_reduce(list_prepend(0.0, list(x ORDER BY vid)), (a, b) -> a + b)
+           / count(*) AS m
+  FROM (SELECT a.cell, a.vid, t.j,
+               a.vec[{_b * _pq_sub} + t.j + 1]::DOUBLE AS x
+        FROM pb{_b}a{_i} a CROSS JOIN unnest(range({_pq_sub})) AS t(j)) mm
+  GROUP BY cell, j
+),
+pb{_b}n{_i} AS (SELECT cell AS c, list(m ORDER BY dim) AS cv FROM pb{_b}m{_i} GROUP BY cell),
+pb{_b}c{_i + 1} AS (
+  SELECT p.c, coalesce(n.cv, p.cv) AS cv, {_pq_sqfold('coalesce(n.cv, p.cv)')} AS c2
+  FROM pb{_b}c{_i} p LEFT JOIN pb{_b}n{_i} n ON n.c = p.c
+)""")
+    _pq_cb = " UNION ALL ".join(
+        f"SELECT {_b} AS b, c, cv, c2 FROM pb{_b}c{_pq_it}" for _b in range(_pq_m)
+    )
+    sql["ann_pq_topk"] = f"""WITH {', '.join(_pq_ctes)},
+pcb AS ({_pq_cb}),
+pdists AS (
+  SELECT e.vec_id AS vid, cb.b AS b, cb.c AS c,
+         cb.c2 - 2.0 * list_reduce(list_prepend(0.0, list_transform(range({_pq_sub}),
+             j -> e.embedding[cb.b * {_pq_sub} + j + 1]::DOUBLE * cb.cv[j + 1])),
+             (x, y) -> x + y) AS dist
+  FROM embeddings e, pcb cb
+),
+pcodes AS (
+  SELECT vid, b, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid, b ORDER BY dist, c) AS rk
+    FROM pdists
+  ) WHERE rk = 1
+),
+qtab AS (SELECT vid AS query_id, b, c, dist AS qdist FROM pdists WHERE vid < 20),
+adc AS (
+  SELECT q.query_id, p.vid AS cand_id,
+         list_reduce(list_prepend(0.0, list(q.qdist ORDER BY q.b)),
+                     (a, b) -> a + b) AS adc_dist
+  FROM pcodes p JOIN qtab q ON q.b = p.b AND q.c = p.code
+  WHERE p.vid != q.query_id
+  GROUP BY q.query_id, p.vid
+),
+pranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS INT) AS rank
+  FROM adc
+)
+SELECT query_id, cand_id, adc_dist, rank FROM pranked WHERE rank <= 5
 """
 
     sql["sessionize"] = f"""

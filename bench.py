@@ -72,6 +72,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_trained",
     "incremental_ann",
+    "ann_pq_topk",
     "sessionize",
     "tumbling",
     "pricing_summary",

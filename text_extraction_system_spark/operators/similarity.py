@@ -810,3 +810,178 @@ def ivf_inertia(
         .agg(F.avg("d"))
         .collect()[0][0]
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression half of ANN at scale
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: m sub-blocks of dim/m components, k centroids per block.
+#: 8 blocks x 16 centroids = 8 4-bit codes per vector — a 64-dim float32
+#: embedding (256 B) compresses to 4 B of codes, the 64x reduction that
+#: makes a 10^12-vector serving tier fit in memory; IVF routes queries to
+#: cells, PQ scores the cell members from codes (the standard pairing).
+PQ_BLOCKS = 8
+PQ_CENTROIDS = 16
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_BLOCKS,
+    k: int = PQ_CENTROIDS,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the m per-block codebooks — each is k-means over the block's
+    dim/m-component slices, run through the SAME deterministic Lloyd
+    machinery as the IVF quantizer (``ivf_train``: Forgy seed from the
+    first k vectors by id, left-fold means), so trained PQ is
+    bit-reproducible and the DuckDB oracle can replay all m trainings.
+    Returns codebooks[m][k][dim/m]."""
+    sub = dim // m
+    books = []
+    for b in range(m):
+        blk = embeddings.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), b * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            ivf_train(blk, n_centroids=k, iters=iters, dim=sub,
+                      vec_col=vec_col, id_col=id_col)
+        )
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes array<int>): per block, the index of the nearest
+    codebook centroid — the narrow per-row pass whose OUTPUT is what a
+    10^12-row deployment materializes (the float vectors leave the serving
+    tier). One numpy Arrow pass; per-block distances replay the
+    c2 - 2*(dim-major fold) order of ``assign_cells_vectorized``, so the
+    SQL twin's argmin picks identical codes."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def gen(batches):
+        import pandas as pd
+
+        C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]   # (k, sub)
+        c2 = [np.asarray([sum(v * v for v in cv) for cv in cb]) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({
+                    "vid": pd.Series([], dtype=object),
+                    "codes": pd.Series([], dtype=object),
+                })
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for b in range(m):
+                Xb = X[:, b * sub:(b + 1) * sub]
+                acc = np.zeros((X.shape[0], C[b].shape[0]))
+                for j in range(sub):  # dim-major: the fold's add order
+                    acc += Xb[:, j:j + 1] * C[b][None, :, j]
+                codes[:, b] = np.argmin(c2[b][None, :] - 2.0 * acc, axis=1)
+            out = pdf[[id_col]].copy()
+            out.columns = ["vid"]
+            out["codes"] = [list(map(int, row)) for row in codes]
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema="vid bigint, codes array<int>"
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    n_queries: int = 20,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): each
+    query precomputes one m x k distance table against the codebooks
+    (c2 - 2*q_b.c — the same monotone L2 proxy as IVF), then every
+    candidate costs m TABLE LOOKUPS instead of a dim-length float scan —
+    the arithmetic that makes exhaustive scoring of a coarse cell feasible
+    when vectors live as codes. Queries broadcast with their flattened
+    tables; the ADC sum folds blocks in ascending order from 0.0 (the
+    engine-portable order); ties rank by candidate id."""
+    from .exprutil import let
+
+    m = len(codebooks)
+    kcent = len(codebooks[0])
+    sub = dim // m
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def table_col(qv: Column) -> Column:
+        def block_table(cells: Column):
+            # a closure, NOT `lambda q, cells=cells`: pyspark sniffs lambda
+            # arity and a defaulted second parameter turns the binding into
+            # the (element, index) transform form — cells would silently
+            # become the index (see the identical note in layout._cumsum_col)
+            return lambda q: F.transform(
+                cells, lambda s: s["c2"] - 2.0 * dot_col(q, s["cv"])
+            )
+
+        parts = []
+        for b in range(m):
+            cells = _ivf_cells_lit(sub, kcent, codebooks[b])
+            parts.append(let(F.slice(qv, b * sub + 1, sub), block_table(cells)))
+        return F.concat(*parts)
+
+    qs = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        table_col(F.col(vec_col)).alias("tab"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(
+            F.col("tab"), b * kcent + F.element_at(F.col("codes"), b + 1) + 1
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qs))
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vid").alias("cand_id"), adc.alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )
+    if not rerank:
+        return shortlist
+    vecs = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    qvecs = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    exact = (
+        F.broadcast(shortlist.select("query_id", "cand_id"))
+        .join(vecs, "cand_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "cand_id",
+                cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

@@ -162,3 +162,32 @@ def read_ivf_centroids(base_dir: str) -> list | None:
         return None
     with open(path) as f:
         return json.load(f)
+
+
+#: versioned like _IVF_FILE: v1 = deterministic left-fold Lloyd per block
+_PQ_FILE = "pq_codebooks_v1.json"
+
+
+def write_pq_codebooks(codebooks: list, base_dir: str) -> str:
+    """Persist trained PQ codebooks (train once / serve many); atomic
+    replace, json float round-trip exactness — same contract as
+    write_ivf_centroids."""
+    import json
+
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, _PQ_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(codebooks, f)
+    os.replace(tmp, path)
+    return path
+
+
+def read_pq_codebooks(base_dir: str) -> list | None:
+    import json
+
+    path = os.path.join(base_dir, _PQ_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
