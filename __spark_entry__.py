@@ -474,6 +474,26 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, books)
 
 
+def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (the industry serving architecture): the trained
+    IVF quantizer routes queries to n_probe cells, the trained PQ codes
+    score the cell members by ADC — both artifacts persisted per corpus,
+    both trainings replayed bit-exactly by the oracle."""
+    from text_extraction_system_spark.operators import state
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = _state_dir(sf_dir)
+    cents = state.read_ivf_centroids(base)
+    if cents is None:
+        cents = similarity.ivf_train(emb, iters=5)
+        state.write_ivf_centroids(cents, base)
+    books = state.read_pq_codebooks(base)
+    if books is None:
+        books = similarity.pq_train(emb)
+        state.write_pq_codebooks(books, base)
+    return similarity.ivf_pq_topk(emb, cents, books)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (T/streaming analog, batch formulation)."""
     _utc(spark)
@@ -806,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "incremental_ann": _q_incremental_ann,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_pq": _q_ann_ivf_pq,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "curation_funnel": _q_curation_funnel,
@@ -1993,6 +2014,65 @@ pranked AS (
   FROM adc
 )
 SELECT query_id, cand_id, adc_dist, rank FROM pranked WHERE rank <= 5
+"""
+
+    # IVF-PQ composition twin: the coarse training chain (tcents*) AND all
+    # per-block PQ chains (pb*) in one query; serving = coarse assignment +
+    # probe selection (as the trained-IVF twin) routing into the PQ ADC
+    # fold (as the PQ twin) — the full composed architecture hash-checked.
+    sql["ann_ivf_pq"] = f"""WITH {', '.join(_train_ctes)},
+{', '.join(_pq_ctes)},
+ivfd AS (
+  SELECT e.vec_id AS vid, cc.c AS c,
+         cc.c2 - 2.0 * {_ivf_dot.format(v='e.embedding')} AS dist
+  FROM embeddings e, tcents5 cc
+),
+iasg AS (
+  SELECT vid, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS rk
+    FROM ivfd
+  ) WHERE rk = 1
+),
+iprobes AS (
+  SELECT vid AS query_id, c AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY dist, c) AS prk
+        FROM ivfd WHERE vid < 20)
+  WHERE prk <= {similarity.IVF_PROBE}
+),
+pcb AS ({_pq_cb}),
+pdists AS (
+  SELECT e.vec_id AS vid, cb.b AS b, cb.c AS c,
+         cb.c2 - 2.0 * list_reduce(list_prepend(0.0, list_transform(range({_pq_sub}),
+             j -> e.embedding[cb.b * {_pq_sub} + j + 1]::DOUBLE * cb.cv[j + 1])),
+             (x, y) -> x + y) AS dist
+  FROM embeddings e, pcb cb
+),
+pcodes AS (
+  SELECT vid, b, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid, b ORDER BY dist, c) AS rk
+    FROM pdists
+  ) WHERE rk = 1
+),
+qtab AS (SELECT vid AS query_id, b, c, dist AS qdist FROM pdists WHERE vid < 20),
+icands AS (
+  SELECT q.query_id, a.vid
+  FROM iprobes q JOIN iasg a ON a.cell = q.cell
+  WHERE a.vid != q.query_id
+),
+iadc AS (
+  SELECT c.query_id, c.vid AS cand_id,
+         list_reduce(list_prepend(0.0, list(t.qdist ORDER BY t.b)),
+                     (a, b) -> a + b) AS adc_dist
+  FROM icands c
+  JOIN pcodes pc ON pc.vid = c.vid
+  JOIN qtab t ON t.query_id = c.query_id AND t.b = pc.b AND t.c = pc.code
+  GROUP BY c.query_id, c.vid
+),
+iranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS INT) AS rank
+  FROM iadc
+)
+SELECT query_id, cand_id, adc_dist, rank FROM iranked WHERE rank <= 5
 """
 
     sql["sessionize"] = f"""

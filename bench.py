@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_ivf_trained",
     "incremental_ann",
     "ann_pq_topk",
+    "ann_ivf_pq",
     "sessionize",
     "tumbling",
     "pricing_summary",

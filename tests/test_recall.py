@@ -150,3 +150,34 @@ def test_pq_adc_shortlist_recall_curve(spark):
         rr.setdefault(r["query_id"], set()).add(r["cand_id"])
     rec = sum(len(rr[q] & exact[q]) / 5 for q in exact) / len(exact)
     assert rec >= 0.8, rec          # rerank recall == shortlist coverage
+
+
+def test_ivf_pq_composition_consistency(spark):
+    """IVF-PQ sanity: probing EVERY coarse cell degenerates to pure PQ ADC
+    (identical rows — routing only restricts, never rescores), and the
+    default 8-probe serving keeps a usable fraction of the pure-ADC top-5
+    while scanning a fraction of the corpus."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_train(emb, iters=2)
+    books = similarity.pq_train(emb, iters=2)
+
+    def snap(df):
+        return {(r["query_id"], r["cand_id"], r["rank"],
+                 f"{r['adc_dist']:.17g}") for r in df.collect()}
+
+    allp = snap(similarity.ivf_pq_topk(emb, cents, books,
+                                       n_probe=similarity.IVF_CENTROIDS))
+    pure = snap(similarity.pq_topk(emb, books))
+    assert allp == pure and allp
+
+    probed = {}
+    for r in similarity.ivf_pq_topk(emb, cents, books).collect():
+        probed.setdefault(r["query_id"], set()).add(r["cand_id"])
+    pure_by_q = {}
+    for q, c, _r, _d in pure:
+        pure_by_q.setdefault(q, set()).add(c)
+    overlap = sum(len(probed.get(q, set()) & cs) / len(cs)
+                  for q, cs in pure_by_q.items()) / len(pure_by_q)
+    assert overlap >= 0.5, overlap  # 8 of 64 cells keeps most ADC winners

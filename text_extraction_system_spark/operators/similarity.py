@@ -901,6 +901,40 @@ def pq_encode(
     )
 
 
+def _pq_table_col(qv: Column, codebooks: list, sub: int) -> Column:
+    """Flattened m*k ADC table for one query vector: per block, the
+    c2 - 2*q_b.c proxy against that block's codebook (fold order matches
+    the numpy encode and the SQL twin)."""
+    from .exprutil import let
+
+    def block_table(cells: Column):
+        # a closure, NOT `lambda q, cells=cells`: pyspark sniffs lambda
+        # arity and a defaulted second parameter turns the binding into
+        # the (element, index) transform form — cells would silently
+        # become the index (see the identical note in layout._cumsum_col)
+        return lambda q: F.transform(
+            cells, lambda s: s["c2"] - 2.0 * dot_col(q, s["cv"])
+        )
+
+    parts = []
+    for b, cb in enumerate(codebooks):
+        cells = _ivf_cells_lit(sub, len(cb), cb)
+        parts.append(let(F.slice(qv, b * sub + 1, sub), block_table(cells)))
+    return F.concat(*parts)
+
+
+def _adc_col(m: int, kcent: int) -> Column:
+    """ADC sum from the bound `tab` and `codes` columns: fold blocks
+    ascending from 0.0 — the engine-portable order."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(
+            F.col("tab"), b * kcent + F.element_at(F.col("codes"), b + 1) + 1
+        ),
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
@@ -925,39 +959,99 @@ def pq_topk(
     kcent = len(codebooks[0])
     sub = dim // m
     codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
-
-    def table_col(qv: Column) -> Column:
-        def block_table(cells: Column):
-            # a closure, NOT `lambda q, cells=cells`: pyspark sniffs lambda
-            # arity and a defaulted second parameter turns the binding into
-            # the (element, index) transform form — cells would silently
-            # become the index (see the identical note in layout._cumsum_col)
-            return lambda q: F.transform(
-                cells, lambda s: s["c2"] - 2.0 * dot_col(q, s["cv"])
-            )
-
-        parts = []
-        for b in range(m):
-            cells = _ivf_cells_lit(sub, kcent, codebooks[b])
-            parts.append(let(F.slice(qv, b * sub + 1, sub), block_table(cells)))
-        return F.concat(*parts)
-
     qs = embeddings.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
-        table_col(F.col(vec_col)).alias("tab"),
+        _pq_table_col(F.col(vec_col), codebooks, sub).alias("tab"),
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, b: acc + F.element_at(
-            F.col("tab"), b * kcent + F.element_at(F.col("codes"), b + 1) + 1
-        ),
-    )
+    adc = _adc_col(m, kcent)
     scored = (
         codes.crossJoin(F.broadcast(qs))
         .where(F.col("vid") != F.col("query_id"))
         .select(
             "query_id", F.col("vid").alias("cand_id"), adc.alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )
+    if not rerank:
+        return shortlist
+    vecs = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    qvecs = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    exact = (
+        F.broadcast(shortlist.select("query_id", "cand_id"))
+        .join(vecs, "cand_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select("query_id", "cand_id",
+                cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_queries: int = 20,
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed industry-standard ANN serving architecture:
+    the trained IVF quantizer ROUTES (every vector materialized with its
+    coarse cell; queries probe their n_probe nearest cells only) and the
+    trained PQ codebooks SCORE (cell members cost m table lookups each
+    from 4-bit codes — no float vectors in the scan). At 10^12 vectors
+    this is the tier layout: codes + cell ids live in memory
+    (~code bytes/vector), float vectors stay in cold storage and are
+    touched only by ``rerank``'s shortlist fetch.
+
+    Both components are the bit-deterministic trained artifacts
+    (``ivf_train`` / ``pq_train``), so the DuckDB oracle replays coarse
+    training, all block trainings, encoding, probe selection, and the
+    ADC fold — the full composition is hash-checked end to end."""
+    from .exprutil import let
+
+    m = len(codebooks)
+    kcent = len(codebooks[0])
+    sub = dim // m
+    base = assign_cells_vectorized(
+        embeddings, n_centroids=len(centroids), dim=dim,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    ).select(F.col(id_col).alias("vid"), "cell")
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    cands = base.join(codes, "vid")
+
+    cells_lit = _ivf_cells_lit(dim, len(centroids), centroids)
+    qs = embeddings.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        _pq_table_col(F.col(vec_col), codebooks, sub).alias("tab"),
+        F.explode(
+            let(
+                ivf_dists_col(F.col(vec_col), cells_lit),
+                lambda d: ivf_probe_cells_col(d, n_probe),
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        cands.join(F.broadcast(qs), "cell")
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vid").alias("cand_id"),
+            _adc_col(m, kcent).alias("adc_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
