@@ -123,6 +123,7 @@ def _host_probe() -> dict:
     with open("/proc/loadavg") as f:
         load1 = float(f.read().split()[0])
     return {"busy": user + nice + system + irq + softirq, "steal": steal,
+            "iowait": iowait,
             "foreign": _foreign_cpu_ticks(), "load1": load1, "t": time.time()}
 
 
@@ -133,6 +134,7 @@ def _host_delta(a: dict, b: dict) -> dict:
         "host_busy_cores": round((b["busy"] - a["busy"]) / hz / wall, 2),
         "foreign_cpu_cores": round(max(b["foreign"] - a["foreign"], 0) / hz / wall, 2),
         "steal_cores": round((b["steal"] - a["steal"]) / hz / wall, 3),
+        "iowait_cores": round((b["iowait"] - a["iowait"]) / hz / wall, 3),
         "load1_start": a["load1"],
         "load1_end": b["load1"],
     }
@@ -197,32 +199,17 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     doc_bytes = os.path.getsize(f"{sf_dir}/documents.parquet")
 
-    # build + warm every headline plan once (plan compile, JIT, python
-    # workers, write-once state tables), then run quiet-gated timed sweeps:
-    # each sweep times one noop write per query; per-query timing is the min
-    # across quiet sweeps
-    dfs = {n: qs[n](spark, sf_dir) for n in HEADLINE if n in qs}
-    for df in dfs.values():
-        df.write.format("noop").mode("overwrite").save()
-
-    def _sweep() -> dict[str, float]:
-        t: dict[str, float] = {}
-        for name, df in dfs.items():
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            t[name] = time.time() - t0
-        return t
-
-    sweeps, head_attempts = _gated(_sweep, "headline")
-    quiet_sweeps = [s for s, a in zip(sweeps, head_attempts) if a["quiet"]] or sweeps
-    timings = {n: round(min(s[n] for s in quiet_sweeps), 3) for n in dfs}
-    total = round(sum(timings.values()), 3)
-    headline_host = min(head_attempts,
-                        key=lambda s: s["foreign_cpu_cores"] + s["steal_cores"])
-
-    # throughput on a replicated corpus: at sf0.1 the raw table is 5k docs,
-    # so a single-query timing is all fixed cost; replicate with distinct
-    # doc_ids and measure the full pipeline warm, quiet-gated min-of-k
+    # PIPELINE PHASE FIRST, headline after: the headline phase compiles
+    # and caches ~45 query plans (generated code, broadcast relations,
+    # python workers), so measuring the pipeline afterwards adds that heap
+    # state as a confound; ordering it first removes one variable from the
+    # number the driver records. (The host's own invisible throughput
+    # swings remain the bigger term — same-code pipeline runs measured
+    # 4.6-18.5 s across windows with near-zero guest-visible steal; the
+    # attempt evidence in the output is what arbitrates.) Throughput on a
+    # replicated corpus: at sf0.1 the raw table is 5k docs, so a
+    # single-query timing is all fixed cost; replicate with distinct
+    # doc_ids and measure warm, quiet-gated min-of-k.
     from pyspark.sql import functions as F
 
     from text_extraction_system_spark import pipeline as pl
@@ -246,6 +233,29 @@ def main() -> None:
     pipe_vals, pipe_attempts = _gated(_pipe_run, "pipeline")
     pipe_sec = _pick(pipe_vals, pipe_attempts)
     pipeline_host = min(pipe_attempts,
+                        key=lambda s: s["foreign_cpu_cores"] + s["steal_cores"])
+
+    # build + warm every headline plan once (plan compile, JIT, python
+    # workers, write-once state tables), then run quiet-gated timed sweeps:
+    # each sweep times one noop write per query; per-query timing is the min
+    # across quiet sweeps
+    dfs = {n: qs[n](spark, sf_dir) for n in HEADLINE if n in qs}
+    for df in dfs.values():
+        df.write.format("noop").mode("overwrite").save()
+
+    def _sweep() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, df in dfs.items():
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            t[name] = time.time() - t0
+        return t
+
+    sweeps, head_attempts = _gated(_sweep, "headline")
+    quiet_sweeps = [s for s, a in zip(sweeps, head_attempts) if a["quiet"]] or sweeps
+    timings = {n: round(min(s[n] for s in quiet_sweeps), 3) for n in dfs}
+    total = round(sum(timings.values()), 3)
+    headline_host = min(head_attempts,
                         key=lambda s: s["foreign_cpu_cores"] + s["steal_cores"])
 
     # giant-doc row: one 10^5-span document through extraction — the skew
