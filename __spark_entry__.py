@@ -474,6 +474,27 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, books)
 
 
+#: ADC shortlist size for the reranked PQ query (exact-top5 coverage 0.76
+#: at 50 of 500 on the weak-neighbor sf corpus — tests/test_recall.py)
+PQ_RERANK = 50
+
+
+def _q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ DEPLOYMENT shape: ADC shortlists PQ_RERANK candidates per
+    query from codes alone, one float fetch computes exact cosine for the
+    shortlist, final top-5 by cosine — quantization error stays out of the
+    final ordering while the float scan touches R vectors, not the corpus."""
+    from text_extraction_system_spark.operators import state
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = _state_dir(sf_dir)
+    books = state.read_pq_codebooks(base)
+    if books is None:
+        books = similarity.pq_train(emb)
+        state.write_pq_codebooks(books, base)
+    return similarity.pq_topk(emb, books, rerank=PQ_RERANK)
+
+
 def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (the industry serving architecture): the trained
     IVF quantizer routes queries to n_probe cells, the trained PQ codes
@@ -827,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_ann": _q_incremental_ann,
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_ivf_pq": _q_ann_ivf_pq,
+        "ann_pq_rerank": _q_ann_pq_rerank,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "curation_funnel": _q_curation_funnel,
@@ -2073,6 +2095,55 @@ iranked AS (
   FROM iadc
 )
 SELECT query_id, cand_id, adc_dist, rank FROM iranked WHERE rank <= 5
+"""
+
+    # reranked-PQ twin: the PQ chains + ADC shortlist (rank <= PQ_RERANK),
+    # then exact cosine over the shortlist and the final top-5 — the
+    # deployment shape, hash-checked including the float re-rank.
+    sql["ann_pq_rerank"] = f"""WITH {', '.join(_pq_ctes)},
+pcb AS ({_pq_cb}),
+pdists AS (
+  SELECT e.vec_id AS vid, cb.b AS b, cb.c AS c,
+         cb.c2 - 2.0 * list_reduce(list_prepend(0.0, list_transform(range({_pq_sub}),
+             j -> e.embedding[cb.b * {_pq_sub} + j + 1]::DOUBLE * cb.cv[j + 1])),
+             (x, y) -> x + y) AS dist
+  FROM embeddings e, pcb cb
+),
+pcodes AS (
+  SELECT vid, b, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid, b ORDER BY dist, c) AS rk
+    FROM pdists
+  ) WHERE rk = 1
+),
+qtab AS (SELECT vid AS query_id, b, c, dist AS qdist FROM pdists WHERE vid < 20),
+adc AS (
+  SELECT q.query_id, p.vid AS cand_id,
+         list_reduce(list_prepend(0.0, list(q.qdist ORDER BY q.b)),
+                     (a, b) -> a + b) AS adc_dist
+  FROM pcodes p JOIN qtab q ON q.b = p.b AND q.c = p.code
+  WHERE p.vid != q.query_id
+  GROUP BY q.query_id, p.vid
+),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rk
+    FROM adc
+  ) WHERE rk <= {PQ_RERANK}
+),
+rscored AS (
+  SELECT s.query_id, s.cand_id,
+         {_dotp('qe.embedding', 'ce.embedding')}
+           / (sqrt({_dotp('qe.embedding', 'qe.embedding')})
+              * sqrt({_dotp('ce.embedding', 'ce.embedding')})) AS cosine
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.cand_id
+),
+rranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+  FROM rscored
+)
+SELECT query_id, cand_id, cosine, rank FROM rranked WHERE rank <= 5
 """
 
     sql["sessionize"] = f"""

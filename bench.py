@@ -74,6 +74,7 @@ HEADLINE = [
     "incremental_ann",
     "ann_pq_topk",
     "ann_ivf_pq",
+    "ann_pq_rerank",
     "sessionize",
     "tumbling",
     "pricing_summary",
