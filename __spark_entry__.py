@@ -362,6 +362,19 @@ def _q_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: token budget for the mixture-sampling query (about a third of the
+#: sf0.01 corpus — a realistic mix of capped and fractional source rates)
+MIXTURE_BUDGET = 10_000
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling plan: per-source target tokens from
+    hash-derived weights and a budget, integer keep rates in [0, 2^32],
+    and the deterministic doc sample they induce (splits.mixture_plan) —
+    the release step that turns mixture weights into a stable sample."""
+    return splits.mixture_plan(_docs(spark, sf_dir), None, MIXTURE_BUDGET)
+
+
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by seeded md5 threshold —
     stable under resharding and corpus growth (operators/splits.py)."""
@@ -805,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "dup_windows": _q_dup_windows,
         "source_stats": _q_source_stats,
+        "mixture_plan": _q_mixture_plan,
         "token_count_bpe": _q_token_count_bpe,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -1130,6 +1144,49 @@ SELECT source,
        CAST(max(CASE WHEN rk = ceil(n * 0.5) THEN n_tokens END) AS BIGINT) AS p50_tokens,
        CAST(max(CASE WHEN rk = ceil(n * 0.9) THEN n_tokens END) AS BIGINT) AS p90_tokens
 FROM r GROUP BY source
+"""
+
+    # mixture-plan twin: integer weights from the source-name hash, target
+    # tokens and rates by BIGINT floor division, membership by the same
+    # 2^32 hash compare as split assignment.
+    sql["mixture_plan"] = f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_avail,
+         CAST(count(*) AS BIGINT) AS docs_avail
+  FROM c GROUP BY source
+),
+wt AS (
+  SELECT *, CAST(strpos('{_HEX}', substr(md5('mixw:' || source), 1, 1)) - 1 + 1 AS BIGINT) AS weight
+  FROM tot
+),
+ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM wt),
+planned AS (
+  SELECT wt.source, wt.tokens_avail, wt.docs_avail, wt.weight,
+         (CAST({MIXTURE_BUDGET} AS BIGINT) * wt.weight) // ws.wsum AS target_tokens
+  FROM wt CROSS JOIN ws
+),
+rated AS (
+  SELECT *, least(CAST(4294967296 AS BIGINT),
+                  (target_tokens * 4294967296) // tokens_avail) AS rate_32
+  FROM planned
+),
+samp AS (
+  SELECT c.source,
+         CAST(count(*) AS BIGINT) AS docs_sampled,
+         CAST(sum(c.n_tokens) AS BIGINT) AS tokens_sampled
+  FROM c JOIN rated r ON r.source = c.source
+  WHERE ({_sql_tokhash("'mix0:' || c.doc_id", 8)}) < r.rate_32
+  GROUP BY c.source
+)
+SELECT r.source, r.weight, r.tokens_avail, r.docs_avail, r.target_tokens, r.rate_32,
+       coalesce(s.docs_sampled, 0) AS docs_sampled,
+       coalesce(s.tokens_sampled, 0) AS tokens_sampled
+FROM rated r LEFT JOIN samp s ON s.source = r.source
 """
 
     # cross-doc duplicated-window twin: 8-token windows, per-(doc, window)

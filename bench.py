@@ -64,6 +64,7 @@ HEADLINE = [
     "decontaminate",
     "split_assign",
     "source_stats",
+    "mixture_plan",
     "incremental_dedup",
     "release_manifest",
     "pack_bins",

@@ -582,3 +582,38 @@ def test_connected_components_transitive_chain(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=2)
+
+
+def test_mixture_plan_semantics(spark):
+    """Mixture sampling: an oversubscribed source caps at rate 1 and keeps
+    every doc (the plan shows the shortfall instead of re-weighting); a
+    fractional source keeps a hash-stable subset; rates and targets follow
+    the integer formulas exactly."""
+    from pyspark.sql import functions as F
+
+    from text_extraction_system_spark.operators import splits
+
+    docs = spark.createDataFrame(
+        [(f"a{i}", "tiny", "one two three") for i in range(3)]        # 9 tokens
+        + [(f"b{i}", "big", " ".join(["w"] * 50)) for i in range(40)],  # 2000
+        "doc_id string, source string, text string",
+    )
+    plan = {r["source"]: r for r in splits.mixture_plan(
+        docs, {"tiny": 1, "big": 1}, token_budget=400
+    ).collect()}
+    t, b = plan["tiny"], plan["big"]
+    # equal weights: each source targets 200 tokens
+    assert t["target_tokens"] == 200 and b["target_tokens"] == 200
+    # tiny has only 9 tokens -> capped at rate 1, everything kept
+    assert t["rate_32"] == 1 << 32
+    assert t["docs_sampled"] == t["docs_avail"] == 3
+    assert t["tokens_sampled"] == t["tokens_avail"] == 9
+    # big keeps the exact integer fraction 200/2000 of the hash space
+    assert b["rate_32"] == (200 * (1 << 32)) // 2000
+    assert 0 < b["docs_sampled"] < b["docs_avail"]
+    # determinism: rerunning yields the identical sample
+    again = {r["source"]: r for r in splits.mixture_plan(
+        docs, {"tiny": 1, "big": 1}, token_budget=400
+    ).collect()}
+    assert again["big"]["docs_sampled"] == b["docs_sampled"]
+    assert again["big"]["tokens_sampled"] == b["tokens_sampled"]

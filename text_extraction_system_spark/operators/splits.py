@@ -131,3 +131,93 @@ def pack_bins(
             / budget
         ).cast("bigint").alias("bin"),
     )
+
+
+#: hash space for mixture sampling rates: rate thresholds live in
+#: [0, 2^32) like the split hash, so doc membership is an exact integer
+#: comparison in any engine
+_MIX_SEED = "mix0"
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, int] | None,
+    token_budget: int,
+    doc_id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixture sampling plan + deterministic per-source sample — the
+    pretraining-release step that turns "train on 30% web, 30% code, 40%
+    books" plus a token budget into per-source KEEP RATES and a stable doc
+    sample. All arithmetic is integer-exact (oracle-hashable):
+
+      target_s      = (token_budget * w_s) div sum(w)   (integer division)
+      rate_32(s)    = min(2^32, (target_s * 2^32) div tokens_s)
+      doc sampled  <=> split_hash(mix_seed, doc_id) < rate_32(source)
+
+    Oversubscribed sources cap at rate 1 (every doc kept — the plan shows
+    the shortfall instead of silently re-weighting); undersubscribed ones
+    keep a uniform deterministic fraction, stable under corpus growth and
+    resharding (same hash-threshold property as assign_splits). Returns
+    one row per source: tokens available, the integer rate, docs/tokens
+    sampled — the report a release job writes next to its manifest.
+
+    ``weights=None`` derives a deterministic weight per source in-plan
+    (1 + hexval(md5('mixw:' || source)[0]), 1..16) — the no-config mode
+    whose SQL twin needs no source list.
+
+    Scale shape: one narrow token-count pass; per-source totals (small
+    agg); rates broadcast back; the sample predicate is a per-row hash
+    compare; final per-source rollup. No global sort, nothing pairwise."""
+    from . import textstats  # noqa: F401  (token_count_col lives there)
+    from .textstats import token_count_col
+
+    counts = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.col(source_col).alias("source"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_avail"),
+        F.count(F.lit(1)).cast("bigint").alias("docs_avail"),
+    )
+    if weights is None:
+        weight_col = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("mixw:"), F.col("source"))), 1, 1),
+                   16, 10).cast("bigint") + 1
+        )
+    else:
+        wmap = F.create_map(
+            *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(int(w)))]
+        )
+        weight_col = F.coalesce(wmap[F.col("source")], F.lit(0)).cast("bigint")
+    weighted = totals.select("source", "tokens_avail", "docs_avail",
+                             weight_col.alias("weight"))
+    wsum_df = weighted.agg(F.sum("weight").cast("bigint").alias("wsum"))
+    planned = weighted.crossJoin(F.broadcast(wsum_df)).select(
+        "source", "tokens_avail", "docs_avail", "weight",
+        F.expr(f"(CAST({token_budget} AS BIGINT) * weight) div wsum")
+        .alias("target_tokens"),
+    ).select(
+        "*",
+        F.least(
+            F.lit(1 << 32).cast("bigint"),
+            F.expr("(target_tokens * 4294967296) div tokens_avail"),
+        ).alias("rate_32"),
+    )
+    sampled = (
+        counts.join(F.broadcast(planned.select("source", "rate_32")), "source")
+        .where(split_hash_col(F.col("doc_id"), _MIX_SEED) < F.col("rate_32"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs_sampled"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_sampled"),
+        )
+    )
+    return (
+        planned.join(sampled, "source", "left")
+        .na.fill({"docs_sampled": 0, "tokens_sampled": 0})
+        .select("source", "weight", "tokens_avail", "docs_avail",
+                "target_tokens", "rate_32", "docs_sampled", "tokens_sampled")
+    )
