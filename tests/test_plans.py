@@ -85,11 +85,16 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_stats")
 
 
-def test_ann_query_side_broadcasts(spark):
+def test_ann_topk_no_pair_join_single_exchange(spark):
+    """r6 shape: the vectorized scorer removed the pair join — candidates
+    never join or shuffle; the only Exchange is the tiny partial-top-k
+    ranking shuffle, and no per-pair HOF cosine remains in the plan."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["ann_topk"](spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "zip_with" not in plan, plan
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -103,14 +108,15 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_ivf_topk_shape_and_plan(spark):
-    """IVF ANN: query side broadcasts, probes are distinct cells (no pair
-    scored twice), ranks are dense 1..k per query."""
+    """IVF ANN: no pair join (r6 vectorized scorer — probe sets ride inside
+    the kernel), probes are distinct cells (no pair scored twice), ranks
+    are dense 1..k per query."""
     from text_extraction_system_spark.operators import similarity
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = similarity.ivf_topk(emb, n_queries=5, k=3)
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan, plan
     assert "SortMergeJoin" not in plan
     rows = df.collect()
     by_q = {}
@@ -198,6 +204,27 @@ def test_vectorized_ivf_assignment_bit_identical(spark):
     )
     assert diff == 0
     assert vec.count() == emb.count()
+
+
+def test_vectorized_topk_bit_identical(spark):
+    """r6: the numpy partial-top-k scorer must reproduce the HOF
+    broadcast-join formulation EXACTLY — same (query, cand, rank) rows,
+    same cosine bits — for both the brute-force and the IVF-probed shape
+    (the kernel replays the fold's multiply/add order and the probe-cell
+    tie-break)."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for fn in (similarity.brute_force_topk, similarity.ivf_topk):
+        slow = {
+            (r["query_id"], r["rank"]): (r["cand_id"], r["cosine"])
+            for r in fn(emb, vectorized=False).collect()
+        }
+        fast = {
+            (r["query_id"], r["rank"]): (r["cand_id"], r["cosine"])
+            for r in fn(emb, vectorized=True).collect()
+        }
+        assert fast == slow, fn.__name__
 
 
 def test_vectorized_srp_signatures_bit_identical(spark):

@@ -44,22 +44,181 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.try_divide(dot_col(a, b), norm_col(a) * norm_col(b))
 
 
+def _py_dot(a, b) -> float:
+    """Python-float twin of ``dot_col``: same ascending-j sequential fold,
+    same IEEE-double rounding sequence."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _py_norm(a) -> float:
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _null_rank_key(cosine):
+    """Sort sentinel reproducing (cosine DESC NULLS LAST, cand_id ASC): real
+    cosines live in [-1, 1], so -2.0 orders every NULL after every value."""
+    return -2.0 if cosine is None else cosine
+
+
+def _query_rows(embeddings: DataFrame, n_queries: int,
+                id_col: str, vec_col: str) -> list[tuple]:
+    """The (tiny) query side as driver rows: n_queries x dim floats — the
+    same collect class as the IVF centroid/seed reads (similarity.py
+    ``ivf_train``), never the corpus."""
+    rows = (
+        embeddings.where(F.col(id_col) < n_queries)
+        .select(id_col, vec_col).collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def _scored_topk_partials(
+    cands: DataFrame,
+    queries: list[tuple],
+    k: int,
+    probe_cells: dict | None = None,
+) -> DataFrame:
+    """Per-task partial top-k of exact cosine scores against a small query
+    set — the guide-section-8 move: every task scores its own rows against
+    the (in-Python) query vectors with one vectorized numpy pass per batch
+    and emits only its k best rows per query, so no join ships vectors and
+    the final ranking window sees n_tasks x n_queries x k rows instead of
+    the full score matrix.
+
+    BIT-IDENTICAL scores to ``cosine_col``: the dot/norm accumulations run
+    dim-major in float64 (one vectorized multiply+add per dimension, j
+    ascending) — exactly the ``aggregate`` fold's IEEE sequence per row —
+    and zero-norm pairs yield NULL like try_divide. Partial top-k keeps, per
+    query, the k best under (cosine DESC NULLS LAST, cand_id ASC) — the
+    final window's exact total order — so the union of partials is a
+    superset of the global top-k and the window output is unchanged
+    (pinned by tests/test_plans.py equality vs the HOF formulation).
+
+    ``cands`` must be (cand_id, cv) or (cand_id, cv, cell);
+    ``probe_cells`` maps query_id -> cell ids the query probes (None = scan
+    everything, the brute-force shape)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in cands.schema.fields}
+    out_schema = T.StructType([
+        T.StructField("query_id", in_fields["cand_id"].dataType, True),
+        T.StructField("cand_id", in_fields["cand_id"].dataType, True),
+        T.StructField("cosine", T.DoubleType(), True),
+    ])
+    has_cell = "cell" in in_fields
+    qids = [q[0] for q in queries]
+    qvs = [np.asarray(q[1], dtype=np.float64) for q in queries]
+    qns = np.asarray([_py_norm(q[1]) for q in queries])
+    probes = (
+        [np.asarray(sorted(probe_cells[qid]), dtype=np.int64) for qid in qids]
+        if probe_cells is not None else None
+    )
+    m = len(qids)
+
+    def gen(batches):
+        # per query: parallel lists of (order_key, cand_id, cosine), <= k each
+        best_key = [np.empty(0)] * m
+        best_id = [np.empty(0, dtype=object)] * m
+        best_cos = [[] for _ in range(m)]
+        dim = qvs[0].shape[0] if m else 0
+        Q = np.stack(qvs) if m else np.zeros((0, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            cells = pdf["cell"].to_numpy() if has_cell else None
+            # candidate norms + all dots, dim-major (the fold's add order)
+            nacc = np.zeros(len(X))
+            dacc = np.zeros((len(X), m))
+            for j in range(dim):
+                xj = X[:, j]
+                nacc += xj * xj
+                dacc += xj[:, None] * Q[None, :, j]
+            cn = np.sqrt(nacc)
+            for qi in range(m):
+                mask = ids != qids[qi]
+                if cells is not None and probes is not None:
+                    mask &= np.isin(cells, probes[qi])
+                if not mask.any():
+                    continue
+                denom = qns[qi] * cn[mask]
+                dot = dacc[mask, qi]
+                sid = ids[mask]
+                zero = denom == 0.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / denom
+                key = np.where(zero, -2.0, cos)
+                # batch top-k under (key desc, cand_id asc), merged with
+                # the running best and re-cut to k
+                take = np.lexsort((sid, -key))[: k]
+                kk = np.concatenate((best_key[qi], key[take]))
+                ii = np.concatenate((best_id[qi], sid[take]))
+                cc = best_cos[qi] + [
+                    None if zero[t] else float(cos[t]) for t in take
+                ]
+                order = np.lexsort((ii, -kk))[: k]
+                best_key[qi] = kk[order]
+                best_id[qi] = ii[order]
+                best_cos[qi] = [cc[t] for t in order]
+        out = {"query_id": [], "cand_id": [], "cosine": []}
+        for qi in range(m):
+            for t in range(len(best_id[qi])):
+                out["query_id"].append(qids[qi])
+                out["cand_id"].append(best_id[qi][t])
+                out["cosine"].append(best_cos[qi][t])
+        yield pd.DataFrame(out, columns=["query_id", "cand_id", "cosine"])
+
+    return cands.mapInPandas(gen, schema=out_schema)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     n_queries: int = 20,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
-    The query side is broadcast (explicitly) — the candidate scan never
-    shuffles; only k*n_queries rows reach the ranking window.
+    ``vectorized=True`` (default): the query vectors ride inside a numpy
+    ``mapInPandas`` kernel (n_queries x dim floats — the centroid-collect
+    class, never the corpus) that scores each task's rows in one vectorized
+    pass per batch and emits per-task partial top-k, so only
+    n_tasks x n_queries x k rows reach the ranking window — the interpreted
+    per-pair HOF cosine (N x n_queries evaluations, the measured 85% of
+    this query's runtime at sf1.0) leaves the plan. Scores are
+    bit-identical to ``cosine_col`` (see ``_scored_topk_partials``);
+    ``vectorized=False`` keeps the pure-expression broadcast-join
+    formulation, equality-pinned by tests/test_plans.py.
     """
+    cands = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    if vectorized:
+        queries = _query_rows(embeddings, n_queries, id_col, vec_col)
+        return _rank_topk(_scored_topk_partials(cands, queries, k), k)
     qs = embeddings.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    cands = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
     scored = (
         cands.join(F.broadcast(qs))
         .where(F.col("cand_id") != F.col("query_id"))
@@ -69,12 +228,7 @@ def brute_force_topk(
             cosine_col(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 #: SRP LSH banding defaults: N_BANDS x PLANES_PER_BAND hyperplanes total.
@@ -655,7 +809,14 @@ def ivf_topk(
     ``centroids`` serves the index from an explicit (e.g. ``ivf_train``-ed)
     quantizer instead of the default deterministic hash centroids — the real
     IVF deployment shape: train once, serve many. Trained centroids cut the
-    probes needed at equal recall (pinned by tests/test_recall.py)."""
+    probes needed at equal recall (pinned by tests/test_recall.py).
+
+    ``vectorized=True`` additionally scores candidates in the same numpy
+    kernel class as the assignment (``_scored_topk_partials``): the query
+    vectors and their python-replayed probe-cell sets (bit-identical to
+    ``ivf_probe_cells_col`` — same dist fold, same (dist, idx) tie-break)
+    ride inside the kernel, each task emits its partial top-k, and the
+    cell-keyed broadcast join + per-pair HOF cosine leave the plan."""
     from .exprutil import let
 
     cells_lit = _ivf_cells_lit(dim, n_centroids, centroids)
@@ -667,14 +828,23 @@ def ivf_topk(
             embeddings, n_centroids=n_centroids, dim=dim,
             id_col=id_col, vec_col=vec_col, centroids=centroids,
         ).select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "cell"
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cell"
         )
-    else:
-        base = embeddings.select(
-            F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
-            ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
+        cents = centroids if centroids is not None else ivf_centroid_values(dim, n_centroids)
+        c2 = [sum(v * v for v in cv) for cv in cents]  # _ivf_cells_lit's literal
+        queries = _query_rows(embeddings, n_queries, id_col, vec_col)
+        probe_cells = {}
+        for qid, qv in queries:
+            dists = [c2[c] - 2.0 * _py_dot(qv, cents[c]) for c in range(len(cents))]
+            probe_cells[qid] = [i for _d, i in sorted(zip(dists, range(len(cents))))[:n_probe]]
+        return _rank_topk(
+            _scored_topk_partials(base, queries, k, probe_cells=probe_cells), k
         )
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        ivf_cell_col(ivf_dists_col(F.col(vec_col), cells_lit)).alias("cell"),
+    )
     qs = embeddings.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -694,12 +864,7 @@ def ivf_topk(
             cosine_col(F.col("qv"), F.col("vec")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_train_step(
