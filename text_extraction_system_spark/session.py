@@ -32,6 +32,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate rewrites explode(expr) into
+        # Filter(size(expr)>0 AND isnotnull(expr)) + explode(expr): for a
+        # computed array column the pushed filter RE-EVALUATES the entire
+        # expression per row (twice, once per conjunct) below the Generate —
+        # for the derive->ocr->restitch span chain that tripled every
+        # exploding query (extract_restitch 12.9 s -> 2.8 s at sf1.0, plan
+        # shrank from 3 inlined copies of the chain to 1). Every explode in
+        # this engine is over a computed/Arrow-produced array, where the
+        # inferred filter only costs; none scans a stored array column where
+        # it could prune I/O.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_MAX_RECORDS_PER_BATCH))
         .config("spark.sql.parquet.compression.codec", "zstd")
