@@ -43,7 +43,30 @@ _HEX = "0123456789abcdef"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the driver corpora are single row-group parquet files: spread the scan
+    # or every narrow stage above it runs in ONE task (see
+    # partitioning.spread_unsplittable for the full story + measurements)
+    from text_extraction_system_spark.operators.partitioning import spread_unsplittable
+
+    return spread_unsplittable(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_system_spark.operators.partitioning import spread_unsplittable
+
+    return spread_unsplittable(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_extraction_system_spark.operators.partitioning import spread_unsplittable
+
+    return spread_unsplittable(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id"
+    )
 
 
 def _utc(spark: SparkSession) -> None:
@@ -203,7 +226,7 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 analog: request-status summary -> event_type counts."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -409,13 +432,13 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column (broadcast queries)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.brute_force_topk(emb)
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k (the 10^12-vector plan shape)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.srp_lsh_topk(emb)
 
 
@@ -436,7 +459,7 @@ def _q_incremental_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-hashed."""
     from text_extraction_system_spark.operators import state
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     committed = emb.where(F.col("vec_id") % INCR_ANN_MOD != 0)
     base = _state_dir(sf_dir)
     if not state.srp_buckets_exist(base):
@@ -461,7 +484,7 @@ def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one cell on this corpus and prunes nothing)."""
     from text_extraction_system_spark.operators import state
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     base = _state_dir(sf_dir)
     cents = state.read_ivf_centroids(base)
     if cents is None:
@@ -478,7 +501,7 @@ def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus (train once / serve many — state.write_pq_codebooks)."""
     from text_extraction_system_spark.operators import state
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     base = _state_dir(sf_dir)
     books = state.read_pq_codebooks(base)
     if books is None:
@@ -499,7 +522,7 @@ def _q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     final ordering while the float scan touches R vectors, not the corpus."""
     from text_extraction_system_spark.operators import state
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     base = _state_dir(sf_dir)
     books = state.read_pq_codebooks(base)
     if books is None:
@@ -515,7 +538,7 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both trainings replayed bit-exactly by the oracle."""
     from text_extraction_system_spark.operators import state
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     base = _state_dir(sf_dir)
     cents = state.read_ivf_centroids(base)
     if cents is None:
@@ -531,7 +554,7 @@ def _q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (T/streaming analog, batch formulation)."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return events.sessionize(ev).withColumn(
         "session_seq", F.col("session_seq").cast("bigint")
     )
@@ -547,7 +570,7 @@ def _micros(c) -> F.Column:
 def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h window aggregate; fixed-point-exact value sums."""
     _utc(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return events.tumbling_counts(ev)
 
 
@@ -646,7 +669,7 @@ def _q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within SRP buckets (scale path:
     the bucket join replaces all-pairs)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.srp_near_dup_pairs(emb)
 
 
@@ -758,7 +781,7 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: per-row nearest-centroid assignment (the
     materialize-and-partition-by column at 10^12 rows), queries scan their
     n_probe nearest cells only."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb)
 
 

@@ -99,3 +99,24 @@ def test_deskew_operator_matches_core(spark):
         assert row["rotation"] == int(exp["rotation"]), doc_id
         assert row["skew_milli"] == int(math.floor(exp["skew"] * 1000.0 + 0.5)), doc_id
         assert row["n_clusters"] == len(exp["clusters"]), doc_id
+
+
+def test_deskew_array_path_matches_exploded(spark):
+    """r6: the shuffle-free array formulation (synth_glyph_arrays ->
+    deskew_from_arrays) must emit exactly the exploded+gathered form's
+    rows — same synthetic content, same decisions."""
+    import pandas as pd
+
+    from text_extraction_system_spark.operators import deskew_op
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [str(i) for i in range(80)]})
+    )
+
+    def snap(df):
+        return {r["doc_id"]: (r["rotation"], r["skew_milli"], r["n_clusters"],
+                              r["top_count"]) for r in df.collect()}
+
+    fast = snap(deskew_op.deskew_from_arrays(deskew_op.synth_glyph_arrays(docs)))
+    slow = snap(deskew_op.deskew_pages(deskew_op.synth_glyphs(docs)))
+    assert fast == slow

@@ -85,15 +85,16 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_stats")
 
 
-def test_ann_topk_no_pair_join_single_exchange(spark):
+def test_ann_topk_no_pair_join_two_exchanges(spark):
     """r6 shape: the vectorized scorer removed the pair join — candidates
-    never join or shuffle; the only Exchange is the tiny partial-top-k
-    ranking shuffle, and no per-pair HOF cosine remains in the plan."""
+    never join; the only Exchanges are the unsplittable-input spread and
+    the tiny partial-top-k ranking shuffle, and no per-pair HOF cosine
+    remains in the plan."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["ann_topk"](spark, SF))
     assert "Join" not in plan, plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
     assert "zip_with" not in plan, plan
 
 
@@ -525,6 +526,28 @@ def test_repetition_chain_path_matches_counter_and_dataframe(spark):
     )
     assert snap(textstats.repetition_rows_arrow(small)) == snap(
         textstats.repetition_rows(small)
+    )
+
+
+def test_dup_windows_vectorized_row_equal(spark):
+    """r6: the Arrow Counter + window-count formulation of
+    dup_window_coverage must emit EXACTLY the expression form's rows
+    (same 60-bit md5 window hashes via py_tokens, same counts) on a real
+    corpus slice."""
+    from text_extraction_system_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def snap(df):
+        return {
+            r["doc_id"]: (r["n_windows"], r["dup_windows"],
+                          r["distinct_shared_windows"],
+                          f"{r['dup_window_frac']:.17g}")
+            for r in df.collect()
+        }
+
+    assert snap(dedup.dup_window_coverage(docs, vectorized=True)) == snap(
+        dedup.dup_window_coverage(docs, vectorized=False)
     )
 
 

@@ -449,9 +449,62 @@ def incremental_near_dup(
 DUP_WINDOW_TOKENS = 8
 
 
+def _doc_window_counts_arrow(docs: DataFrame, n: int, doc_id_col: str,
+                             text_col: str) -> DataFrame:
+    """(doc_id, win, occ) per-doc window-hash counts via one Arrow pass —
+    the shuffle-free twin of explode(ngram) -> 60-bit md5 ->
+    groupBy(doc_id, win).count(): grouping keyed by (doc, window) is
+    per-document local, so each task produces its docs' distinct counts
+    with a python Counter instead of shipping every window occurrence
+    through an exchange (the r5 plan's first and largest shuffle).
+    Hashes are the exact ``token_hash_col(..., hex_chars=15)`` values
+    (same md5 prefix, same tokenization via ``py_tokens``); docs with
+    fewer than n tokens emit no rows, matching explode's inner-join
+    semantics. Pinned row-equal to the expression form by pytest."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from .textstats import py_tokens
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            ws: list = []
+            occ: list = []
+            for doc_id, text in zip(pdf[doc_id_col], pdf[text_col]):
+                toks = py_tokens(text)
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                cnt = Counter(
+                    int(hashlib.md5(
+                        " ".join(toks[i:i + n]).encode()
+                    ).hexdigest()[:15], 16)
+                    for i in range(m)
+                )
+                ids.extend([doc_id] * len(cnt))
+                ws.extend(cnt.keys())
+                occ.extend(cnt.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "win": pd.Series(ws, dtype="int64"),
+                    "occ": pd.Series(occ, dtype="int64"),
+                },
+                columns=["doc_id", "win", "occ"],
+            )
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
+    ).mapInPandas(gen, schema="doc_id string, win bigint, occ bigint")
+
+
 def dup_window_coverage(docs: DataFrame, n: int = DUP_WINDOW_TOKENS,
                         doc_id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        vectorized: bool = True) -> DataFrame:
     """Per-document cross-corpus duplication signal: the fraction of the
     doc's n-token windows that also occur in at least one OTHER document
     (plus the distinct shared-window count). Doc-level MinHash finds
@@ -470,9 +523,42 @@ def dup_window_coverage(docs: DataFrame, n: int = DUP_WINDOW_TOKENS,
     pairwise; an md5 collision would need ~2^30 distinct shared windows
     per partition-of-interest (birthday bound) and is deterministic and
     engine-identical anyway, so the oracle stays bit-exact. Docs shorter
-    than n tokens have no windows and emit no row."""
+    than n tokens have no windows and emit no row.
+
+    ``vectorized=True`` (default, r6): stage 1 runs as the Arrow Counter
+    kernel (``_doc_window_counts_arrow`` — the per-(doc, window) grouping
+    is doc-local, so its corpus-wide exchange disappears), and the
+    per-window doc count comes from ``count(*) over (partition by win)``
+    instead of the aggregate + join-back — per_doc_win rows are distinct
+    per (doc, win), so the window count IS n_docs_with, and the plan
+    drops from 3 exchanges + a vocabulary-sized join build side to
+    exactly 2 skinny-row exchanges (win, then doc_id); the window count
+    also removes the join's broadcast-vs-SMJ cliff when the vocabulary
+    outgrows the broadcast threshold. Row-equal to the expression form
+    (pytest) and oracle-hash unchanged."""
+    from pyspark.sql.window import Window
+
     from .textstats import ngram_col, token_hash_col
 
+    if vectorized:
+        per_doc_win = _doc_window_counts_arrow(docs, n, doc_id_col, text_col)
+        counted = per_doc_win.withColumn(
+            "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("win"))
+        )
+        return (
+            counted.groupBy("doc_id")
+            .agg(
+                F.sum("occ").cast("bigint").alias("n_windows"),
+                F.sum(F.when(F.col("n_docs_with") > 1, F.col("occ")).otherwise(0))
+                .cast("bigint").alias("dup_windows"),
+                F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+                .cast("bigint").alias("distinct_shared_windows"),
+            )
+            .select(
+                "doc_id", "n_windows", "dup_windows", "distinct_shared_windows",
+                (F.col("dup_windows") / F.col("n_windows")).alias("dup_window_frac"),
+            )
+        )
     wins = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         F.explode(ngram_col(F.col(text_col), n)).alias("win_s"),

@@ -117,6 +117,66 @@ def synth_glyphs(docs: DataFrame) -> DataFrame:
     return glyph_rows.unionByName(shift_rows)
 
 
+def synth_glyph_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, angles, dxs, dys) — the SAME synthetic glyph/shift content
+    as ``synth_glyphs`` kept in per-doc arrays: the exploded form's
+    groupBy(doc_id)+collect_list only reassembled what the synthesis had
+    just exploded, paying a 3M-row shuffle to undo its own Generate (r6;
+    guide §2.4 "remove shuffles outright"). Equivalent to collect_list on
+    the exploded rows up to element order, which ``detect_page_rotation``
+    is insensitive to (histogram + counts); pinned row-equal by pytest."""
+    from .exprutil import let
+
+    h = F.md5("doc_id")
+    is_trend = _hp(h, 1) <= 2
+    base = ((_hp(h, 2) - 1) % 4) * 90
+    skew = _hp(h, 3) - 8
+    c4 = [(1 + (_hp(h, k) - 1) % 8) for k in (4, 5, 6, 7)]
+    tot = 32 * (1 + (_hp(h, 9) - 1) % 2)
+    c_last = tot - (c4[0] + c4[1] + c4[2] + c4[3])
+    decoy = (_hp(h, 8) - 1) % 4
+
+    def rep(cnt: Column, val: Column) -> Column:
+        return F.when(
+            cnt > 0,
+            F.transform(F.sequence(F.lit(1), cnt), lambda _: val.cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+
+    counts = dict(zip((-2, -1, 0, 1), c4))
+    counts[2] = c_last
+    angles_arr = F.concat(
+        *[rep(counts[d], base + skew + d) for d in (-2, -1, 0, 1, 2)],
+        rep(decoy, base + skew + 20),
+    )
+    angles_arr = F.when(is_trend, F.array().cast("array<int>")).otherwise(angles_arr)
+
+    dmode = (_hp(h, 2) - 1) % 4
+    shifts = F.when(
+        is_trend,
+        F.transform(
+            F.sequence(F.lit(1), F.lit(TREND_SHIFTS)),
+            lambda i: F.struct(
+                F.when(dmode == 0, _hv(h, i)).when(dmode == 1, -_hv(h, i))
+                .otherwise(F.lit(0)).cast("int").alias("dx"),
+                F.when(dmode == 2, _hv(h, i)).when(dmode == 3, -_hv(h, i))
+                .otherwise(F.lit(0)).cast("int").alias("dy"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<dx:int,dy:int>>"))
+
+    return docs.select(
+        "doc_id",
+        angles_arr.alias("angles"),
+        let(
+            shifts,
+            lambda s: F.struct(
+                F.transform(s, lambda x: x["dx"]).alias("dxs"),
+                F.transform(s, lambda x: x["dy"]).alias("dys"),
+            ),
+        ).alias("c"),
+    ).select("doc_id", "angles", "c.dxs", "c.dys")
+
+
 def _hv(h: Column, i: Column) -> Column:
     """Signed hex value in [-7, 8] from md5 char 1 + (i*7)%32."""
     return F.instr(F.lit(_HEX), F.substring(h, (i * 7) % 32 + 1, 1)) - 8
@@ -162,8 +222,23 @@ def deskew_pages(glyphs: DataFrame, key: str = "doc_id") -> DataFrame:
     return res.select(key, "r.rotation", "r.skew_milli", "r.n_clusters", "r.top_count")
 
 
-def deskew_query(spark, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id")
+def deskew_from_arrays(arrs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Shuffle-free twin of ``deskew_pages`` for per-doc glyph ARRAYS
+    ((key, angles, dxs, dys) — e.g. ``synth_glyph_arrays``): the decision
+    UDF consumes the arrays where they sit; no explode, no gather."""
+    detect_udf = F.pandas_udf(
+        _detect_batch, "struct<rotation:int,skew_milli:long,n_clusters:int,top_count:int>"
     )
-    return deskew_pages(synth_glyphs(docs))
+    res = arrs.select(key, detect_udf("angles", "dxs", "dys").alias("r"))
+    return res.select(key, "r.rotation", "r.skew_milli", "r.n_clusters", "r.top_count")
+
+
+def deskew_query(spark, sf_dir: str) -> DataFrame:
+    # single row-group input: spread the scan or the glyph synthesis runs
+    # in one task (see partitioning.spread_unsplittable)
+    from .partitioning import spread_unsplittable
+
+    docs = spread_unsplittable(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    ).select(F.col("doc_id").cast("string").alias("doc_id"))
+    return deskew_from_arrays(synth_glyph_arrays(docs))

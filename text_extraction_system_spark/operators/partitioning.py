@@ -24,6 +24,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_unsplittable(df: DataFrame, key: str) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5 "input skew"): a
+    parquet scan cannot split inside a row group, so a SINGLE ROW-GROUP
+    file (the driver corpora; gzip-class inputs in production) yields its
+    30+ configured splits with every row in ONE of them — every narrow
+    stage above the scan (the derive->ocr->restitch chain, every Arrow
+    kernel) then runs on one core regardless of cluster size (measured: a
+    mapInPandas probe saw 50000/50000 rows in one task at sf1.0). One
+    deterministic hash repartition on the table id right after the read
+    moves a few MB once and unlocks full parallelism downstream. Partition
+    count follows the session's parallelism (x2 slack for hash imbalance),
+    so the same code is right at any cluster size; SPARK_GRAFT_SPREAD=0
+    disables it (splittable production layouts), SPARK_GRAFT_SPREAD=N pins
+    N. Hash on the id (not round-robin) keeps row placement deterministic
+    under task retry (guide §2.5, SPARK-38388) and skips the
+    sort-before-repartition pass a keyless repartition pays."""
+    import os
+
+    spark = df.sparkSession
+    n = int(os.environ.get("SPARK_GRAFT_SPREAD",
+                           2 * spark.sparkContext.defaultParallelism))
+    if n <= 0:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def doc_cost_col(spans: Column) -> Column:
     """Estimated parse cost of a doc: total text bytes + a per-media charge
     (media dominates when OCR fires; mirrors the reference's page-count

@@ -170,7 +170,13 @@ def synth_word_box_arrays(docs: DataFrame) -> DataFrame:
 
 
 def reading_order_query(spark, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single row-group input: spread the scan or every downstream kernel
+    # runs in one task (see partitioning.spread_unsplittable)
+    from .partitioning import spread_unsplittable
+
+    docs = spread_unsplittable(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
     # zero-token docs have no reading order (the exploded path dropped them
     # implicitly; the array path must filter). trim(text) != '' is exactly
     # "has at least one token" and costs nothing vs re-tokenizing.
