@@ -62,11 +62,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_system_spark.operators.partitioning import spread_unsplittable
-
-    return spread_unsplittable(
-        spark.read.parquet(f"{sf_dir}/events.parquet"), "event_id"
-    )
+    # NOT spread: every events query aggregates by its own key (user_id /
+    # window) right away, so Spark inserts that exchange anyway and a spread
+    # would just add a second full shuffle — measured sessionize 0.9→1.3 s,
+    # tumbling 0.4→1.1 s WITH a spread here; the cheap pre-shuffle
+    # projection doesn't pay for it
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _utc(spark: SparkSession) -> None:
@@ -635,10 +636,11 @@ def _q_media_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated payload (lowercase hex md5) so the oracle can replay the byte
     transform without blob-md5 support."""
     docs = _docs(spark, sf_dir)
-    ang = rotation.rotation_rows(docs).where(F.col("should_correct")).select(
-        "doc_id", "media_ref", "detected_angle"
-    )
-    rot = multimodal.rotate_media(docs, ang)
+    # fused form: the correction angle is computable in the media pass
+    # itself (see multimodal.rotate_media_inline) — the previous
+    # rotation_rows -> broadcast-join shape derived the corpus twice and
+    # built a 100k+-row broadcast for inline-derivable values
+    rot = multimodal.rotate_media_inline(docs)
     return rot.select(
         "doc_id",
         "media_ref",

@@ -529,6 +529,22 @@ def test_repetition_chain_path_matches_counter_and_dataframe(spark):
     )
 
 
+def test_tfidf_vectorized_row_equal(spark):
+    """r6: the Arrow tf-Counter formulation of tfidf_keywords must emit
+    exactly the explode+groupBy form's rows on a real corpus slice."""
+    from text_extraction_system_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def snap(df):
+        return {(r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"], r["score"])
+                for r in df.collect()}
+
+    assert snap(textstats.tfidf_keywords(docs, vectorized=True)) == snap(
+        textstats.tfidf_keywords(docs, vectorized=False)
+    )
+
+
 def test_dup_windows_vectorized_row_equal(spark):
     """r6: the Arrow Counter + window-count formulation of
     dup_window_coverage must emit EXACTLY the expression form's rows

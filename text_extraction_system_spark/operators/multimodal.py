@@ -221,6 +221,65 @@ def _rotate_payload(b: bytes, angle: float, image_mod=None) -> bytes:
     return b[k:] + b[:k]
 
 
+def rotate_media_inline(docs: DataFrame) -> DataFrame:
+    """Fused twin of
+    ``rotate_media(docs, rotation_rows(docs).where(should_correct))`` (r6,
+    guide §2.4/§3.3): the angle is a pure function of the media_ref and
+    the doc's text share, and BOTH join sides derived from the same span
+    table — so the broadcast join re-derived the corpus a second time and
+    paid a 100k+-row broadcast build for values computable inline. One
+    derivation now computes covers + media explode + payload + angle in a
+    single narrow pass; rows pinned equal to the join form by pytest.
+    Media without a correcting angle keep applied_angle 0 exactly like the
+    join's left-null coalesce."""
+    from . import ocr, rotation
+
+    spans = ds.derive_spans(docs)
+    text_share = F.col("text_cover") / F.greatest(
+        F.col("text_cover") + F.col("media_cover"), F.lit(1).cast("bigint")
+    )
+    per_doc = spans.select(
+        "doc_id",
+        "spans",
+        ocr.text_cover_col(F.col("spans")).alias("text_cover"),
+        ocr.media_cover_col(F.col("spans")).alias("media_cover"),
+    )
+    media = per_doc.select(
+        "doc_id",
+        text_share.alias("text_share"),
+        F.explode(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        "text_share",
+    )
+    snapped = rotation.snap_rotation_col(rotation.raw_angle_col(F.col("media_ref")))
+    should = (F.abs(snapped) > 0.0) & (
+        F.col("text_share") < rotation.TEXT_DOMINANCE_GUARD
+    )
+    with_angle = media.select(
+        "doc_id",
+        "media_ref",
+        F.when(should, snapped).otherwise(F.lit(0.0)).alias("applied_angle"),
+        media_payload_col(F.col("media_ref")).alias("payload"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image as image_mod  # pragma: no cover
+        except ImportError:
+            image_mod = None
+        for pdf in batches:
+            out = pdf[["doc_id", "media_ref", "applied_angle"]].copy()
+            out["payload"] = [
+                _rotate_payload(bytes(p), float(a), image_mod)
+                for p, a in zip(pdf["payload"], pdf["applied_angle"])
+            ]
+            yield out
+
+    return with_angle.mapInPandas(gen, schema=ROTATED_SCHEMA)
+
+
 def rotate_media(docs: DataFrame, angles: DataFrame | None = None) -> DataFrame:
     """Apply rotation correction to media payloads (reference I5: rotate the
     page image by the detected angle before OCR). ``angles`` is an optional

@@ -497,8 +497,44 @@ def repetition_rows_arrow(assembled, text_col: str = "plain_text"):
     )
 
 
+def _doc_token_counts_arrow(docs, doc_id_col: str, text_col: str):
+    """(doc_id, token, tf) per-doc term frequencies via one Arrow pass —
+    the shuffle-free twin of explode(tokens_col) -> groupBy(doc_id, token)
+    (r6): the tf grouping is doc-local, so a python Counter per doc
+    produces the distinct counts without shipping every token occurrence
+    through the first exchange. Same tokenization as ``tokens_col`` via
+    ``py_tokens``; docs with zero tokens emit no rows (explode's
+    inner-join semantics). Pinned row-equal by pytest."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            toks: list = []
+            tfs: list = []
+            for doc_id, text in zip(pdf[doc_id_col], pdf[text_col]):
+                cnt = Counter(py_tokens(text))
+                ids.extend([doc_id] * len(cnt))
+                toks.extend(cnt.keys())
+                tfs.extend(cnt.values())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "token": pd.Series(toks, dtype=object),
+                    "tf": pd.Series(tfs, dtype="int64"),
+                },
+                columns=["doc_id", "token", "tf"],
+            )
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
+    ).mapInPandas(gen, schema="doc_id string, token string, tf bigint")
+
+
 def tfidf_keywords(docs, k: int = 3, doc_id_col: str = "doc_id",
-                   text_col: str = "text"):
+                   text_col: str = "text", vectorized: bool = True):
     """Per-document top-k keywords by TF-IDF — the corpus-level two-pass
     curation operator (per-doc signals like quality/repetition need no
     corpus state; this one does): one token explode feeds BOTH the per-doc
@@ -516,16 +552,31 @@ def tfidf_keywords(docs, k: int = 3, doc_id_col: str = "doc_id",
     aggregate [shuffle 2, vocabulary-sized] -> hash join on token (the
     vocabulary at web scale is ~10^8 rows — NOT broadcastable; the join
     hashes both sides on token) -> per-doc top-k window [shuffle 3 on
-    doc_id]. n_docs rides in as a 1-row broadcast cross join."""
+    doc_id]. n_docs rides in as a 1-row broadcast cross join.
+
+    ``vectorized=True`` (default, r6): the tf stage runs as the Arrow
+    Counter kernel (``_doc_token_counts_arrow`` — per-doc grouping needs
+    no exchange), localCheckpointed (the repo's established
+    materialize-once pattern, see lsh_candidate_pairs) so the three
+    consumers (df, n_docs, the join probe) read the materialized blocks
+    instead of re-running the kernel per branch. The token-occurrence
+    explode and its corpus-wide first shuffle leave the plan; df/n_docs/
+    join/window are unchanged. Row-equal to the expression form
+    (pytest), oracle hashes unchanged."""
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        F.col(doc_id_col).cast("string").alias("doc_id"),
-        F.explode(tokens_col(F.col(text_col))).alias("token"),
-    )
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    if vectorized:
+        tf = _doc_token_counts_arrow(docs, doc_id_col, text_col).localCheckpoint(
+            eager=False
+        )
+    else:
+        toks = docs.select(
+            F.col(doc_id_col).cast("string").alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        tf = toks.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf")
+        )
     # df and n_docs derive from tf, NOT from a second/third pass over the
     # raw token explode: the (doc, token) rows are already distinct after
     # the tf aggregate, so count(*) == count_distinct — and because all

@@ -50,8 +50,14 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # local mode: one JVM hosts all task threads — size the heap for the
-        # thread count or GC serializes the interpreted-HOF allocation storm
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # thread count or GC serializes the interpreted-HOF allocation storm.
+        # 64g (was 24g): a 47-query session accumulates plans/codegen/
+        # broadcasts, and at 24g the LAST-built queries ran 3-5x their
+        # isolated cost from GC pressure (curation_funnel 5.0 s in-sweep vs
+        # 1.05 s isolated; 64g sweep: 1.14 s — guide §5). Heap is a max,
+        # not a reservation; env-overridable for smaller hosts, and cluster
+        # deployments size executors separately anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
