@@ -683,3 +683,28 @@ def test_mixture_plan_semantics(spark):
     ).collect()}
     assert again["big"]["docs_sampled"] == b["docs_sampled"]
     assert again["big"]["tokens_sampled"] == b["tokens_sampled"]
+
+
+def test_vectorized_pq_bit_identical(spark):
+    """r6: the ADC partial-top-k kernel and the fused assign+encode must
+    reproduce the expression/join formulations exactly — same rows, same
+    adc/cosine bits — for plain PQ, reranked PQ, and IVF-PQ."""
+    from text_extraction_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = similarity.pq_train(emb)
+    cents = similarity.ivf_train(emb, iters=2)
+
+    def snap(df):
+        return {(r["query_id"], r["rank"]): tuple(r) for r in df.collect()}
+
+    cases = [
+        (similarity.pq_topk(emb, books, vectorized=True),
+         similarity.pq_topk(emb, books, vectorized=False)),
+        (similarity.pq_topk(emb, books, rerank=20, vectorized=True),
+         similarity.pq_topk(emb, books, rerank=20, vectorized=False)),
+        (similarity.ivf_pq_topk(emb, cents, books, vectorized=True),
+         similarity.ivf_pq_topk(emb, cents, books, vectorized=False)),
+    ]
+    for fast, slow in cases:
+        assert snap(fast) == snap(slow)

@@ -1066,6 +1066,136 @@ def pq_encode(
     )
 
 
+def pq_assign_encode(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cell, codes) in ONE Arrow pass — the fusion of
+    ``assign_cells_vectorized`` + ``pq_encode`` (r6): the two kernels read
+    the same vectors, and joining their outputs on vid paid two exchanges
+    for rows that were born co-located. Both computations replay their
+    originals bit-exactly (same dim-major folds, same literal c2 sums);
+    pinned row-equal to the join form by pytest."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = dim // m
+    c2_cells = [sum(v * v for v in cv) for cv in centroids]
+
+    def gen(batches):
+        CC = np.asarray(centroids, dtype=np.float64)
+        cc2 = np.asarray(c2_cells)
+        C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        c2 = [np.asarray([sum(v * v for v in cv) for cv in cb]) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((X.shape[0], CC.shape[0]))
+            for j in range(dim):
+                acc += X[:, j:j + 1] * CC[None, :, j]
+            cells = np.argmin(cc2[None, :] - 2.0 * acc, axis=1).astype(np.int32)
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for b in range(m):
+                Xb = X[:, b * sub:(b + 1) * sub]
+                a = np.zeros((X.shape[0], C[b].shape[0]))
+                for j in range(sub):
+                    a += Xb[:, j:j + 1] * C[b][None, :, j]
+                codes[:, b] = np.argmin(c2[b][None, :] - 2.0 * a, axis=1)
+            out = pdf[[id_col]].copy()
+            out.columns = ["vid"]
+            out["cell"] = cells
+            out["codes"] = [list(map(int, row)) for row in codes]
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema="vid bigint, cell int, codes array<int>"
+    )
+
+
+def _py_pq_table(qv: list[float], codebooks: list, sub: int) -> list[float]:
+    """Python twin of ``_pq_table_col``: per block b and centroid j,
+    c2 - 2*dot(q_b, c_j) with the literal c2 sum and the ascending fold —
+    identical IEEE sequence to the expression."""
+    tab = []
+    for b, cb in enumerate(codebooks):
+        qb = qv[b * sub:(b + 1) * sub]
+        for cv in cb:
+            tab.append(sum(v * v for v in cv) - 2.0 * _py_dot(qb, cv))
+    return tab
+
+
+def _adc_topk_partials(
+    cands: DataFrame,
+    queries: list[tuple],
+    k: int,
+    m: int,
+    kcent: int,
+    probe_cells: dict | None = None,
+) -> DataFrame:
+    """Per-task partial top-k by ADC distance — the PQ sibling of
+    ``_scored_topk_partials``: each query's flattened m x kcent table rides
+    inside the kernel, candidates cost one numpy gather + add per block
+    (the same ascending-block fold as ``_adc_col``), and only each task's
+    k best (adc ASC, cand_id ASC) reach the ranking window. ``queries``
+    is [(query_id, tab_list)]; ``cands`` is (cand_id, codes[, cell])."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [q[0] for q in queries]
+    tabs = [np.asarray(q[1]) for q in queries]
+    probes = (
+        [np.asarray(sorted(probe_cells[qid]), dtype=np.int64) for qid in qids]
+        if probe_cells is not None else None
+    )
+    nq = len(qids)
+    has_cell = "cell" in [f.name for f in cands.schema.fields]
+
+    def gen(batches):
+        best_key = [np.empty(0)] * nq
+        best_id = [np.empty(0, dtype=np.int64)] * nq
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["cand_id"].to_numpy()
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            cells = pdf["cell"].to_numpy() if has_cell else None
+            for qi in range(nq):
+                mask = ids != qids[qi]
+                if cells is not None and probes is not None:
+                    mask &= np.isin(cells, probes[qi])
+                if not mask.any():
+                    continue
+                sub_codes = codes[mask]
+                sid = ids[mask]
+                acc = np.zeros(len(sid))
+                t = tabs[qi]
+                for b in range(m):  # ascending blocks: _adc_col's fold order
+                    acc += t[b * kcent + sub_codes[:, b]]
+                take = np.lexsort((sid, acc))[: k]
+                kk = np.concatenate((best_key[qi], acc[take]))
+                ii = np.concatenate((best_id[qi], sid[take]))
+                order = np.lexsort((ii, kk))[: k]
+                best_key[qi] = kk[order]
+                best_id[qi] = ii[order]
+        out = {"query_id": [], "cand_id": [], "adc_dist": []}
+        for qi in range(nq):
+            for t_ in range(len(best_id[qi])):
+                out["query_id"].append(qids[qi])
+                out["cand_id"].append(int(best_id[qi][t_]))
+                out["adc_dist"].append(float(best_key[qi][t_]))
+        yield pd.DataFrame(out, columns=["query_id", "cand_id", "adc_dist"])
+
+    return cands.mapInPandas(
+        gen, schema="query_id bigint, cand_id bigint, adc_dist double"
+    )
+
+
 def _pq_table_col(qv: Column, codebooks: list, sub: int) -> Column:
     """Flattened m*k ADC table for one query vector: per block, the
     c2 - 2*q_b.c proxy against that block's codebook (fold order matches
@@ -1109,6 +1239,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): each
     query precomputes one m x k distance table against the codebooks
@@ -1117,25 +1248,40 @@ def pq_topk(
     the arithmetic that makes exhaustive scoring of a coarse cell feasible
     when vectors live as codes. Queries broadcast with their flattened
     tables; the ADC sum folds blocks in ascending order from 0.0 (the
-    engine-portable order); ties rank by candidate id."""
+    engine-portable order); ties rank by candidate id.
+
+    ``vectorized=True`` (r6): the query tables ride inside a numpy kernel
+    (``_adc_topk_partials``) that emits per-task partial top-k — the
+    cross join and the interpreted per-pair ADC fold leave the plan;
+    bit-identical tables/sums (python twin of ``_pq_table_col``)."""
     from .exprutil import let
 
     m = len(codebooks)
     kcent = len(codebooks[0])
     sub = dim // m
     codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
-    qs = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        _pq_table_col(F.col(vec_col), codebooks, sub).alias("tab"),
-    )
-    adc = _adc_col(m, kcent)
-    scored = (
-        codes.crossJoin(F.broadcast(qs))
-        .where(F.col("vid") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vid").alias("cand_id"), adc.alias("adc_dist")
+    if vectorized:
+        queries = [
+            (qid, _py_pq_table(qv, codebooks, sub))
+            for qid, qv in _query_rows(embeddings, n_queries, id_col, vec_col)
+        ]
+        scored = _adc_topk_partials(
+            codes.select(F.col("vid").alias("cand_id"), "codes"),
+            queries, rerank if rerank else k, m, kcent,
         )
-    )
+    else:
+        qs = embeddings.where(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            _pq_table_col(F.col(vec_col), codebooks, sub).alias("tab"),
+        )
+        adc = _adc_col(m, kcent)
+        scored = (
+            codes.crossJoin(F.broadcast(qs))
+            .where(F.col("vid") != F.col("query_id"))
+            .select(
+                "query_id", F.col("vid").alias("cand_id"), adc.alias("adc_dist")
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1174,6 +1320,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the composed industry-standard ANN serving architecture:
     the trained IVF quantizer ROUTES (every vector materialized with its
@@ -1187,38 +1334,65 @@ def ivf_pq_topk(
     Both components are the bit-deterministic trained artifacts
     (``ivf_train`` / ``pq_train``), so the DuckDB oracle replays coarse
     training, all block trainings, encoding, probe selection, and the
-    ADC fold — the full composition is hash-checked end to end."""
+    ADC fold — the full composition is hash-checked end to end.
+
+    ``vectorized=True`` (r6): one fused kernel assigns cells AND encodes
+    codes (``pq_assign_encode`` — the separate assign/encode kernels were
+    joined on vid, two exchanges for born-co-located rows), and the ADC
+    scoring runs as per-task partial top-k with python-replayed probe
+    cells — the cell broadcast join and the interpreted fold leave the
+    plan."""
     from .exprutil import let
 
     m = len(codebooks)
     kcent = len(codebooks[0])
     sub = dim // m
-    base = assign_cells_vectorized(
-        embeddings, n_centroids=len(centroids), dim=dim,
-        id_col=id_col, vec_col=vec_col, centroids=centroids,
-    ).select(F.col(id_col).alias("vid"), "cell")
-    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
-    cands = base.join(codes, "vid")
-
-    cells_lit = _ivf_cells_lit(dim, len(centroids), centroids)
-    qs = embeddings.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        _pq_table_col(F.col(vec_col), codebooks, sub).alias("tab"),
-        F.explode(
-            let(
-                ivf_dists_col(F.col(vec_col), cells_lit),
-                lambda d: ivf_probe_cells_col(d, n_probe),
-            )
-        ).alias("cell"),
-    )
-    scored = (
-        cands.join(F.broadcast(qs), "cell")
-        .where(F.col("vid") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vid").alias("cand_id"),
-            _adc_col(m, kcent).alias("adc_dist"),
+    if vectorized:
+        cands = pq_assign_encode(
+            embeddings, centroids, codebooks, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        ).select(F.col("vid").alias("cand_id"), "cell", "codes")
+        c2 = [sum(v * v for v in cv) for cv in centroids]
+        qrows = _query_rows(embeddings, n_queries, id_col, vec_col)
+        queries = [(qid, _py_pq_table(qv, codebooks, sub)) for qid, qv in qrows]
+        probe_cells = {}
+        for qid, qv in qrows:
+            dists = [c2[c] - 2.0 * _py_dot(qv, centroids[c])
+                     for c in range(len(centroids))]
+            probe_cells[qid] = [
+                i for _d, i in sorted(zip(dists, range(len(centroids))))[:n_probe]
+            ]
+        scored = _adc_topk_partials(
+            cands, queries, rerank if rerank else k, m, kcent,
+            probe_cells=probe_cells,
         )
-    )
+    else:
+        base = assign_cells_vectorized(
+            embeddings, n_centroids=len(centroids), dim=dim,
+            id_col=id_col, vec_col=vec_col, centroids=centroids,
+        ).select(F.col(id_col).alias("vid"), "cell")
+        codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+        cands = base.join(codes, "vid")
+
+        cells_lit = _ivf_cells_lit(dim, len(centroids), centroids)
+        qs = embeddings.where(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"),
+            _pq_table_col(F.col(vec_col), codebooks, sub).alias("tab"),
+            F.explode(
+                let(
+                    ivf_dists_col(F.col(vec_col), cells_lit),
+                    lambda d: ivf_probe_cells_col(d, n_probe),
+                )
+            ).alias("cell"),
+        )
+        scored = (
+            cands.join(F.broadcast(qs), "cell")
+            .where(F.col("vid") != F.col("query_id"))
+            .select(
+                "query_id", F.col("vid").alias("cand_id"),
+                _adc_col(m, kcent).alias("adc_dist"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("cand_id"))
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -86,26 +86,191 @@ def _extract_documents_arrow(
     ).mapInPandas(gen, schema=out_schema)
 
 
+def _extract_documents_arrow_native(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    with_structure: bool,
+) -> DataFrame:
+    """``mapInArrow`` extraction kernel (r6): the same per-document
+    ``core.oracle`` semantics as ``_extract_documents_arrow``, but the
+    nested output columns (out_spans, pages, structure) are built as
+    pyarrow arrays from flat child buffers + offset vectors instead of
+    pandas object Series of dicts — the pandas→Arrow conversion of nested
+    python objects was the measured majority of the old kernel's cost
+    (13.2 s vs catalyst 8.8 s on an 800k-doc corpus; this kernel: see
+    OPTIMIZATION_r06.md). Value-identical by construction: every field
+    comes from the exact oracle/struct code the pytest fixtures pin."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .core import oracle
+
+    def _nullable(dt: T.DataType) -> T.DataType:
+        # pyarrow builders emit nullable arrays; declare the kernel's output
+        # schema nullable throughout (metadata-only — no value changes) so
+        # no non-nullable cast is needed on the Arrow side
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, _nullable(f.dataType), True) for f in dt.fields
+            ])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_nullable(dt.elementType), True)
+        return dt
+
+    out_schema = _nullable(_results_schema(with_structure))
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            txts = batch.column(1).to_pylist()
+            n = len(ids)
+            needs = np.empty(n, dtype=bool)
+            pt: list[str] = []
+            f_off = np.empty(n + 1, dtype=np.int32); f_off[0] = 0
+            f_val: list[str] = []
+            s_off = np.empty(n + 1, dtype=np.int32); s_off[0] = 0
+            s_kind: list[str] = []; s_text: list[str] = []
+            s_ref: list[str] = []; s_num: list[int] = []
+            p_off = np.empty(n + 1, dtype=np.int32); p_off[0] = 0
+            p_num: list[int] = []; p_start: list[int] = []; p_end: list[int] = []
+            st_title: list[str] = []; st_lang: list[str] = []
+            para_off = np.empty(n + 1, dtype=np.int32); para_off[0] = 0
+            para_s: list[int] = []; para_e: list[int] = []; para_l: list[str] = []
+            sent_off = np.empty(n + 1, dtype=np.int32); sent_off[0] = 0
+            sent_s: list[int] = []; sent_e: list[int] = []; sent_l: list[str] = []
+            sec_off = np.empty(n + 1, dtype=np.int32); sec_off[0] = 0
+            sec_cols: dict[str, list] = {
+                "start": [], "end": [], "title": [],
+                "title_start": [], "title_end": [], "level": [], "abs_level": [],
+            }
+            for i in range(n):
+                spans = oracle.derive_spans(ids[i], txts[i] or "")
+                do_ocr = oracle.needs_ocr(spans)
+                out, fails = oracle.restitch(spans, do_ocr)
+                ptext, pages = oracle.assemble(out)
+                needs[i] = do_ocr
+                pt.append(ptext)
+                f_val.extend(fails)
+                f_off[i + 1] = len(f_val)
+                for s in out:
+                    s_kind.append(s.kind); s_text.append(s.text)
+                    s_ref.append(s.media_ref); s_num.append(s.offset)
+                s_off[i + 1] = len(s_kind)
+                for p in pages:
+                    p_num.append(p["number"]); p_start.append(p["start"])
+                    p_end.append(p["end"])
+                p_off[i + 1] = len(p_num)
+                if with_structure:
+                    st = structure._structure_of(ptext)
+                    st_title.append(st["title"]); st_lang.append(st["language"])
+                    for q in st["paragraphs"]:
+                        para_s.append(q["start"]); para_e.append(q["end"])
+                        para_l.append(q["language"])
+                    para_off[i + 1] = len(para_s)
+                    for q in st["sentences"]:
+                        sent_s.append(q["start"]); sent_e.append(q["end"])
+                        sent_l.append(q["language"])
+                    sent_off[i + 1] = len(sent_s)
+                    for q in st["sections"]:
+                        for k in sec_cols:
+                            sec_cols[k].append(q[k])
+                    sec_off[i + 1] = len(sec_cols["start"])
+
+            def lst(offsets, child):
+                return pa.ListArray.from_arrays(pa.array(offsets), child)
+
+            spans_struct = pa.StructArray.from_arrays(
+                [pa.array(s_kind, type=pa.string()),
+                 pa.array(s_text, type=pa.string()),
+                 pa.array(s_ref, type=pa.string()),
+                 pa.array(s_num, type=pa.int32())],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            n_pages_tot = len(p_num)
+            bbox_child = pa.array(
+                np.tile(np.array([0.0, 0.0, 612.0, 792.0], dtype=np.float32),
+                        n_pages_tot),
+                type=pa.float32(),
+            )
+            pages_struct = pa.StructArray.from_arrays(
+                [pa.array(p_num, type=pa.int32()),
+                 pa.array(p_start, type=pa.int32()),
+                 pa.array(p_end, type=pa.int32()),
+                 lst(np.arange(n_pages_tot + 1, dtype=np.int32) * 4, bbox_child),
+                 pa.array(np.zeros(n_pages_tot, dtype=np.int32))],
+                names=["number", "start", "end", "bbox", "rotation"],
+            )
+            cols = [
+                pa.array(ids, type=pa.string()),
+                pa.array(needs),
+                lst(f_off, pa.array(f_val, type=pa.string())),
+                lst(s_off, spans_struct),
+                pa.array(pt, type=pa.string()),
+                lst(p_off, pages_struct),
+            ]
+            if with_structure:
+                def text_spans(ss, ee, ll):
+                    return pa.StructArray.from_arrays(
+                        [pa.array(ss, type=pa.int32()),
+                         pa.array(ee, type=pa.int32()),
+                         pa.array(ll, type=pa.string())],
+                        names=["start", "end", "language"],
+                    )
+
+                sections_struct = pa.StructArray.from_arrays(
+                    [pa.array(sec_cols["start"], type=pa.int32()),
+                     pa.array(sec_cols["end"], type=pa.int32()),
+                     pa.array(sec_cols["title"], type=pa.string()),
+                     pa.array(sec_cols["title_start"], type=pa.int32()),
+                     pa.array(sec_cols["title_end"], type=pa.int32()),
+                     pa.array(sec_cols["level"], type=pa.int32()),
+                     pa.array(sec_cols["abs_level"], type=pa.int32())],
+                    names=["start", "end", "title", "title_start", "title_end",
+                           "level", "abs_level"],
+                )
+                cols.append(pa.StructArray.from_arrays(
+                    [pa.array(st_title, type=pa.string()),
+                     pa.array(st_lang, type=pa.string()),
+                     lst(para_off, text_spans(para_s, para_e, para_l)),
+                     lst(sent_off, text_spans(sent_s, sent_e, sent_l)),
+                     lst(sec_off, sections_struct)],
+                    names=["title", "language", "paragraphs", "sentences",
+                           "sections"],
+                ))
+            yield pa.RecordBatch.from_arrays(
+                [c.cast(f.type) for c, f in zip(cols, arrow_schema)],
+                schema=arrow_schema,
+            )
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias(doc_id_col), text_col
+    ).mapInArrow(gen, schema=out_schema)
+
+
 def extract_from_documents(
     docs: DataFrame,
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     fanout_threshold: int | None = restitch.DEFAULT_FANOUT_THRESHOLD,
     with_structure: bool = True,
-    engine: str = "catalyst",
+    engine: str = "auto",
 ) -> DataFrame:
     """documents -> extraction results (one row per doc).
 
-    ``engine="catalyst"`` (default): the pure-expression pipeline —
-    measured FASTER than the per-document Arrow kernel (5.6-6.1 s vs
-    8.0-8.8 s for 320k docs at 32 cores): the hot loop is let-bound
-    JVM-side expression work, while the kernel pays python object
-    construction per span. ``engine="arrow"`` runs the same semantics as
-    one vectorized pass per batch (``core.oracle`` + the structure
-    segmenter — the north_star's pandas/Arrow-UDF shape), pinned
-    row-for-row against the expression path (tests/test_integration.py);
-    it is the deployment fallback for logic Catalyst cannot express and
-    the measured proof that, HERE, it can and should.
+    ``engine="auto"`` (default, r6) picks per the measured boundary
+    economics: WITHOUT structure the pure-expression catalyst pipeline
+    wins (0.76 s vs 0.99 s at sf1.0 — no python boundary at all beats
+    paying one); WITH structure a python pass is unavoidable (the
+    segmenter), so the ``mapInArrow`` kernel that does extraction AND
+    structure in that same pass wins decisively (1.22 s vs 1.63 s at
+    sf1.0; 4.97 s vs 8.53 s on an 800k-doc corpus — the r5 "arrow is
+    slower" measurement was the old pandas-object kernel at 512-row
+    batches; ``_extract_documents_arrow_native`` builds the nested
+    columns from flat pyarrow buffers instead). Both engines are pinned
+    row-for-row equal (tests/test_integration.py).
 
     Giant-doc routing happens HERE, on the RAW text length, not downstream
     on ``size(spans)``: a filter over the derived-spans projection gets
@@ -121,6 +286,8 @@ def extract_from_documents(
     derive_spans assigns sequential offsets, so density is an invariant
     here — declared statically (dense=True) rather than re-discovered with
     a per-row pass (the round-2 assembly-family bench regression)."""
+    if engine == "auto":
+        engine = "arrow" if with_structure else "catalyst"
     route = fanout_threshold is not None and fanout_threshold > 0
     if route:
         tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
@@ -136,10 +303,10 @@ def extract_from_documents(
 
     if engine == "arrow":
         if not route:
-            return _extract_documents_arrow(
+            return _extract_documents_arrow_native(
                 docs, doc_id_col, text_col, with_structure
             )
-        small_res = _extract_documents_arrow(
+        small_res = _extract_documents_arrow_native(
             small_docs, doc_id_col, text_col, with_structure
         )
         giant = ds.derive_spans(giant_docs, doc_id_col=doc_id_col, text_col=text_col)

@@ -12,7 +12,14 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-DEFAULT_MAX_RECORDS_PER_BATCH = 512
+#: r6: 512 -> 8192 rows, now paired with a BYTE bound (Spark 4's
+#: maxBytesPerBatch). 512-row batches made the small-matrix numpy kernels
+#: (PQ encode: 8 blocks x 16 centroids per batch) overhead-dominated; the
+#: byte cap is the honest giant-row guard the record cap only proxied
+#: (512 rows x 1 MB plain_text was 512 MB under the old setting; now any
+#: batch stops at 32 MB regardless of row width).
+DEFAULT_MAX_RECORDS_PER_BATCH = 8192
+DEFAULT_MAX_BYTES_PER_BATCH = 32 << 20
 
 
 def get_spark(
@@ -46,6 +53,7 @@ def get_spark(
                 "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(DEFAULT_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(DEFAULT_MAX_BYTES_PER_BATCH))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
