@@ -215,8 +215,13 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash: canonical doc + duplicate count."""
-    docs = _docs(spark, sf_dir).select(
+    """Exact dedup by content hash: canonical doc + duplicate count.
+
+    Unspread read: the only pre-shuffle work is one md5 per doc, and the
+    groupBy's own content_hash exchange redistributes anyway — a spread
+    here just added a second full shuffle (measured 0.37->0.62 s at
+    sf1.0, reverted)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), F.md5("text").alias("content_hash")
     )
     return docs.groupBy("content_hash").agg(
@@ -401,9 +406,12 @@ def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by seeded md5 threshold —
-    stable under resharding and corpus growth (operators/splits.py)."""
+    stable under resharding and corpus growth (operators/splits.py).
+    Unspread read: one md5 per doc_id and no downstream shuffle at all —
+    a spread was pure overhead here (measured 0.10->0.15 s, reverted)."""
     return splits.assign_splits(
-        _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
     )
 
 

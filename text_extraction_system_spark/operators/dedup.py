@@ -197,8 +197,41 @@ def _shingle_hash_rows_arrow(docs: DataFrame, doc_id_col: str = "doc_id",
 
 
 def doc_shingles(docs: DataFrame, doc_id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
-    """(doc_id, shingles) for docs with at least one shingle."""
+                 text_col: str = "text", vectorized: bool = True) -> DataFrame:
+    """(doc_id, shingles) for docs with at least one shingle.
+
+    ``vectorized=True`` (r6): one Arrow pass builds the distinct-shingle
+    string arrays in python (same split-on-space/drop-empties words, same
+    k, emitted sorted — a deterministic order, which array_intersect/union
+    set sizes are insensitive to) instead of the interpreted per-shingle
+    slice+array_join HOF. Row-equal up to array order (pytest pins the
+    jaccard consumers bit-equal)."""
+    if vectorized:
+        import pandas as pd
+
+        k = spec.SHINGLE_K
+
+        def gen(batches):
+            for pdf in batches:
+                ids: list = []
+                sh: list = []
+                for doc_id, text in zip(pdf[doc_id_col], pdf[text_col]):
+                    words = [w for w in (text or "").split(" ") if w]
+                    if len(words) < k:
+                        continue
+                    ids.append(doc_id)
+                    sh.append(sorted({
+                        " ".join(words[i:i + k])
+                        for i in range(len(words) - k + 1)
+                    }))
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "shingles": pd.Series(sh, dtype=object),
+                }, columns=["doc_id", "shingles"])
+
+        return docs.select(
+            F.col(doc_id_col).cast("string").alias("doc_id"), text_col
+        ).mapInPandas(gen, schema="doc_id string, shingles array<string>")
     return docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         shingles_col(F.col(text_col)).alias("shingles"),
@@ -321,8 +354,9 @@ def contamination_report(
 def signature_rows_hof(docs: DataFrame, doc_id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Pure-Catalyst formulation of the signature band rows — kept as the
-    value-twin the Arrow kernel is pinned against (tests/test_plans.py)."""
-    sigs = doc_shingles(docs, doc_id_col, text_col).select(
+    value-twin the Arrow kernel is pinned against (tests/test_plans.py);
+    vectorized=False keeps this twin fully independent of python code."""
+    sigs = doc_shingles(docs, doc_id_col, text_col, vectorized=False).select(
         "doc_id",
         exprutil.let(
             minhash_sig_col(F.col("shingles")),
