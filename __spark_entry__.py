@@ -54,11 +54,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from text_extraction_system_spark.operators.partitioning import spread_unsplittable
-
-    return spread_unsplittable(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
-    )
+    # NOT spread (measured, both SFs): every ANN path's per-row work is a
+    # vectorized numpy kernel over small fixed-dim vectors — microseconds
+    # per row — so the spread exchange costs more than the single-task scan
+    # it parallelizes at every measured size (e.g. ann_pq_topk 1.19→0.68 s
+    # at sf0.1, 1.16→0.71 s at 50k-vector scale; ann_topk 0.72→0.35 /
+    # 0.73→0.40; family-wide ~2.5 s at sf0.1, ~1.5 s at 10x). A production
+    # 10^9-vector table is multi-row-group and splits in the scan anyway;
+    # SPARK_GRAFT_SPREAD=N still forces a spread via _docs-style wiring if
+    # an unsplittable vector dump ever needs it.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
